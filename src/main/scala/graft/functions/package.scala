@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level primitives of the engine — every function here composes
+  * built-in (codegen'd) Spark expressions; the only custom Catalyst
+  * expression is [[functions.JaroWinklerExpr]]. No Scala UDFs anywhere:
+  * UDFs are black boxes to Catalyst (no pushdown through them, no codegen),
+  * which matters at 100 TB.
+  */
+package object functions {
+
+  import org.apache.spark.sql.graftinternal.Internals
+
+  /** Jaro-Winkler similarity in [0,1] (custom codegen'd Catalyst expr). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    Internals.column(
+      JaroWinklerExpr(Internals.expression(a), Internals.expression(b)))
+
+  /** Reference text normalization (nordlys/erd/query/query.py:30-40):
+    * lower-case, any non-alphanumeric run → single space, trim.
+    * Byte-identical semantics are a parity invariant.
+    */
+  def norm_text(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of the normalized text. Empty input → empty array
+    * (split of "" yields [""], which we filter).
+    */
+  def tokens(c: Column): Column = {
+    val t = split(norm_text(c), " ")
+    filter(t, x => x =!= "")
+  }
+
+  /** All word n-grams of lengths 1..maxN (space-joined), in order.
+    * The reference generates *all* lengths up to the query length
+    * (nordlys/erd/query/query.py:72-86); no Spark built-in emits all
+    * lengths, so this composes sequence/transform/slice — still fully
+    * codegen'd, no UDF.
+    */
+  def ngrams_up_to(toks: Column, maxN: Int): Column =
+    flatten(
+      transform(sequence(lit(1), least(lit(maxN), size(toks))), n =>
+        transform(sequence(lit(1), size(toks) - n + 1), i =>
+          array_join(slice(toks, i, n), " "))))
+
+  /** Contiguous word shingles of exactly k tokens (space-joined); docs with
+    * fewer than k tokens yield the whole doc as a single shingle so no doc
+    * is unblockable.
+    */
+  def word_shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array(array_join(toks, " ")))
+      .otherwise(
+        transform(sequence(lit(1), size(toks) - k + 1), i =>
+          array_join(slice(toks, i, lit(k)), " ")))
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum xxhash64 over the element set. Null-safe for empty arrays
+    * (yields nulls which callers must filter). All built-in exprs.
+    */
+  def minhash_signature(elems: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), h =>
+      array_min(transform(elems, e => xxhash64(e, h))))
+
+  /** LSH band keys from a MinHash signature: `bands` keys, each hashing
+    * `rowsPerBand` consecutive signature slots together with the band index
+    * (so keys from different bands never collide).
+    */
+  def band_keys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** Token-set Jaccard similarity of two string arrays (distinct-element
+    * semantics). 0.0 when the union is empty.
+    */
+  def token_jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_distinct(concat(a, b))).cast("double")
+    when(uni === 0d, 0d).otherwise(inter / uni)
+  }
+
+  /** Levenshtein similarity in [0,1], computed with the bounded built-in
+    * (threshold variant stops the DP early — O(maxDist·len) not len²,
+    * essential on long documents). Distances beyond maxDist floor to 0.
+    */
+  def levenshtein_sim(a: Column, b: Column, maxDist: Int): Column = {
+    val longest = greatest(length(a), length(b)).cast("double")
+    val d = levenshtein(a, b, maxDist).cast("double")
+    when(longest === 0d, 1d)
+      .otherwise(when(d < 0d || d > lit(maxDist.toDouble), 0d)
+        .otherwise(lit(1d) - d / longest))
+  }
+
+  /** Cosine similarity of two numeric arrays in double precision.
+    * zip_with + aggregate keep it codegen'd; null/zero-norm → 0.0.
+    */
+  def cosine_sim(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0d), (acc, v) => acc + v)
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0d, 0d).otherwise(dot(a, b) / denom)
+  }
+
+  /** 64-bit SimHash from an array of token strings, via bit-vote counting
+    * expressed with built-ins: for each bit, sum of ±1 votes over the
+    * xxhash64 of each token.
+    */
+  def simhash64(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    // single pass over tokens: 64 running bit-votes carried as an array
+    val counts = aggregate(hashes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (c, b) =>
+        c + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    val bits = zip_with(counts, sequence(lit(0), lit(63)), (c, b) =>
+      when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Iceberg-contract table layer, Parquet-backed in-sandbox.
+  *
+  * The sandbox ships no Iceberg runtime (/opt/spark/jars has none), so this
+  * trait carries the Iceberg *semantics* the pipeline depends on — atomic
+  * snapshot overwrite, snapshot history, readable latest pointer — over
+  * plain Parquet paths. Swapping in real Iceberg on a cluster is a one-class
+  * change (`CREATE TABLE ... USING iceberg` + `overwritePartitions`).
+  *
+  * Reference analog: the stage-to-stage JSON checkpoint files
+  * (nordlys/erd/cer/ranker_mlm.py:174-180, isf/set_generator.py:171-183) —
+  * formalized as versioned tables with per-partition lineage + metrics rows
+  * (north-rule resumability).
+  */
+trait TableIO {
+  def write(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit
+  def read(table: String): DataFrame
+  def exists(table: String): Boolean
+  /** Append stage metrics rows: (table, stage, partition_id, rows, checksum). */
+  def appendMetrics(df: DataFrame, table: String, stage: String): Unit
+  def readMetrics(): Option[DataFrame]
+}
+
+/** Parquet snapshot layout:
+  *   root/<table>/snapshot=<n>/   (data)
+  *   root/<table>/_latest         (text file: committed snapshot id)
+  * Writes go to a new snapshot dir, then the pointer moves atomically —
+  * readers never observe a half-written table, and old snapshots remain
+  * for time-travel / resume.
+  */
+final class ParquetTableIO(spark: SparkSession, root: String) extends TableIO {
+  private def dir(table: String) = s"$root/$table"
+  private def pointer(table: String) = Paths.get(dir(table), "_latest")
+
+  private def latestSnapshot(table: String): Option[Int] = {
+    val p = pointer(table)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
+    else None
+  }
+
+  override def exists(table: String): Boolean = latestSnapshot(table).isDefined
+
+  override def write(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    val next = latestSnapshot(table).getOrElse(-1) + 1
+    val path = s"${dir(table)}/snapshot=$next"
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    // atomic pointer flip = snapshot commit
+    Files.createDirectories(Paths.get(dir(table)))
+    val tmp = Paths.get(dir(table), "_latest.tmp")
+    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def read(table: String): DataFrame = {
+    val snap = latestSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"table $table has no committed snapshot under $root"))
+    spark.read.parquet(s"${dir(table)}/snapshot=$snap")
+  }
+
+  override def appendMetrics(df: DataFrame, table: String, stage: String): Unit = {
+    val m = df
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows"),
+        coalesce(bit_xor(xxhash64(struct(df.columns.map(col): _*))), lit(0L)).as("checksum"))
+      .withColumn("table", lit(table))
+      .withColumn("stage", lit(stage))
+    m.write.mode("append").parquet(s"$root/_metrics")
+  }
+
+  override def readMetrics(): Option[DataFrame] =
+    if (Files.exists(Paths.get(s"$root/_metrics")))
+      Some(spark.read.parquet(s"$root/_metrics"))
+    else None
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.pipeline.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(String, String)]): Map[String, String] = {
+    val df = edges.toDF("src", "dst")
+    ConnectedComponents.run(df).as[(String, String)].collect().toMap
+  }
+
+  test("chain collapses to one component rooted at min id") {
+    val m = cc(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e"))
+    assert(m.values.toSet == Set("a"))
+    assert(m.keySet == Set("a", "b", "c", "d", "e"))
+  }
+
+  test("two disjoint components") {
+    val m = cc(Seq("a" -> "b", "x" -> "y", "y" -> "z"))
+    assert(m("a") == "a" && m("b") == "a")
+    assert(m("x") == "x" && m("y") == "x" && m("z") == "x")
+  }
+
+  test("duplicate edges / both orientations / self loops tolerated") {
+    val m = cc(Seq("b" -> "a", "a" -> "b", "b" -> "b", "b" -> "c"))
+    assert(m.values.toSet == Set("a"))
+  }
+
+  test("matches a union-find oracle on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val ids = (0 until n).map(i => f"n$i%04d")
+    val edges = (0 until 300).map { _ =>
+      (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+    }.filter { case (a, b) => a != b }
+
+    // scalar union-find oracle
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // canonical root = min member of each component
+    val byRoot = ids.groupBy(find).flatMap { case (_, members) =>
+      val m = members.min; members.map(_ -> m)
+    }
+
+    val got = cc(edges)
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    touched.foreach { id => assert(got(id) == byRoot(id), s"node $id") }
+  }
+}

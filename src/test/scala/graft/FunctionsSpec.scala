@@ -1,0 +1,117 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("norm_text matches reference preprocessing (query.py:30-40)") {
+    val out = Seq("Hello, World!  42", "a--b__c", "").toDF("t")
+      .select(norm_text($"t")).as[String].collect()
+    assert(out.toSeq == Seq("hello world 42", "a b c", ""))
+  }
+
+  test("tokens drops empties") {
+    val out = Seq("  Hello,   world ", "").toDF("t")
+      .select(tokens($"t")).as[Seq[String]].collect()
+    assert(out(0) == Seq("hello", "world"))
+    assert(out(1) == Seq.empty)
+  }
+
+  test("ngrams_up_to emits all n-grams 1..n (query.py:72-86 fixture)") {
+    val out = Seq("jon gruden rumors").toDF("t")
+      .select(ngrams_up_to(tokens($"t"), 3)).as[Seq[String]].head()
+    assert(out.toSet == Set(
+      "jon", "gruden", "rumors", "jon gruden", "gruden rumors", "jon gruden rumors"))
+    assert(out.size == 6)
+  }
+
+  test("word_shingles: k-grams, short docs fall back to whole doc") {
+    val out = Seq("a b c d", "a b").toDF("t")
+      .select(word_shingles(tokens($"t"), 3)).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("a b"))
+  }
+
+  test("token_jaccard") {
+    val df = Seq(("a b c", "b c d"), ("a a b", "a b"), ("", "x")).toDF("x", "y")
+      .select(token_jaccard(tokens($"x"), tokens($"y")).as("j")).as[Double].collect()
+    assert(math.abs(df(0) - 0.5) < 1e-12)   // {a,b,c} vs {b,c,d}: 2/4
+    assert(math.abs(df(1) - 1.0) < 1e-12)   // duplicate-insensitive
+    assert(df(2) == 0.0)
+  }
+
+  test("jaro_winkler column expr matches scalar kernel and codegens") {
+    val df = Seq(("martha", "marhta"), ("dixon", "dicksonx")).toDF("a", "b")
+      .select(jaro_winkler($"a", $"b").as("jw"))
+    val out = df.as[Double].collect()
+    assert(math.abs(out(0) - SimilarityKernels.jaroWinkler("martha", "marhta")) < 1e-12)
+    assert(math.abs(out(1) - SimilarityKernels.jaroWinkler("dixon", "dicksonx")) < 1e-12)
+    // stays inside whole-stage codegen (inputs derived from range so the
+    // projection isn't constant-folded into a LocalTableScan)
+    val live = spark.range(4).select(
+      jaro_winkler(concat(lit("martha"), $"id".cast("string")),
+        concat(lit("marhta"), $"id".cast("string"))).as("jw"))
+    val plan = live.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan) // "*" = whole-stage codegen stage
+    assert(live.collect().forall(r => r.getDouble(0) > 0.9))
+  }
+
+  test("jaro_winkler null semantics") {
+    val out = Seq((Some("a"), None: Option[String])).toDF("a", "b")
+      .select(jaro_winkler($"a", $"b")).collect()
+    assert(out(0).isNullAt(0))
+  }
+
+  test("minhash signature: deterministic, sensitive to content") {
+    val df = Seq("a b c d e", "a b c d e", "v w x y z").toDF("t")
+      .select(minhash_signature(word_shingles(tokens($"t"), 2), 16).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(df(0) == df(1))
+    assert(df(0) != df(2))
+    assert(df(0).size == 16)
+  }
+
+  test("band_keys: equal signatures share all bands, band index isolates") {
+    val df = Seq("p q r s t u v w").toDF("t")
+      .select(band_keys(minhash_signature(word_shingles(tokens($"t"), 2), 16), 4, 4).as("b"))
+      .as[Seq[Long]].head()
+    assert(df.size == 4)
+    assert(df.distinct.size == 4) // band index mixed in → no cross-band collision
+  }
+
+  test("levenshtein_sim bounded") {
+    val out = Seq(("kitten", "sitting"), ("same", "same"), ("abcdefgh", "zzzzzzzz"))
+      .toDF("a", "b")
+      .select(levenshtein_sim($"a", $"b", 4).as("s")).as[Double].collect()
+    assert(math.abs(out(0) - (1.0 - 3.0 / 7.0)) < 1e-12)
+    assert(out(1) == 1.0)
+    assert(out(2) == 0.0) // beyond maxDist floors to 0
+  }
+
+  test("simhash64 column: identical text equal, near text close, disjoint far") {
+    val out = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "completely different words entirely unrelated content here")
+      .toDF("t").select(simhash64(tokens($"t")).as("h")).as[Long].collect()
+    assert(out(0) == Seq(
+      "the quick brown fox jumps over the lazy dog").toDF("t")
+      .select(simhash64(tokens($"t"))).as[Long].head())
+    val near = java.lang.Long.bitCount(out(0) ^ out(1))
+    val far = java.lang.Long.bitCount(out(0) ^ out(2))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("cosine_sim") {
+    val out = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b").select(cosine_sim($"a", $"b").as("c")).as[Double].collect()
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+    assert(out(2) == 0.0)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val t = TranscriptGen.transcripts(spark, nBase = 60, dupsPerBase = 2).cache()
+  private lazy val labels = TranscriptGen.labels(spark, nBase = 60, dupsPerBase = 2).cache()
+
+  test("generator: schema, dense turn_idx, deterministic") {
+    assert(t.columns.toSeq == Seq("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    // dense 0-based turn_idx per conversation
+    val bad = t.groupBy("conv_id")
+      .agg(count(lit(1)).as("n"), max("turn_idx").as("mx"), min("turn_idx").as("mn"),
+        countDistinct("turn_idx").as("nd"))
+      .where($"mn" =!= 0 || $"mx" =!= $"n" - 1 || $"nd" =!= $"n")
+      .count()
+    assert(bad == 0)
+    // deterministic: re-generation at different parallelism is identical
+    val again = TranscriptGen.transcripts(spark, nBase = 60, dupsPerBase = 2).repartition(13)
+    assert(t.exceptAll(again).isEmpty && again.exceptAll(t).isEmpty)
+  }
+
+  test("doc assembly preserves per-turn text (the per-row invariant)") {
+    val docs = DocAssembly.assemble(t)
+    val back = DocAssembly.explodeBack(docs)
+    val orig = t.select("conv_id", "turn_idx", "text")
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    assert(docs.count() == t.select("conv_id").distinct().count())
+  }
+
+  test("exact-shingle pipeline reaches pairwise F1 >= 0.99") {
+    val res = Pipeline.run(t, Pipeline.Config(blocking = Pipeline.ExactBlocking, maxBlockSize = 500))
+    val r = PairEval.pairwise(res.clusters, labels)
+    info(s"exact blocking: P=${r.precision} R=${r.recall} F1=${r.f1} ($r)")
+    assert(r.f1 >= 0.99, r.toString)
+  }
+
+  test("pure-LSH pipeline has high but imperfect recall (S-curve)") {
+    val res = Pipeline.run(t, Pipeline.Config(blocking = Pipeline.LshBlocking, maxBlockSize = 500))
+    val r = PairEval.pairwise(res.clusters, labels)
+    info(s"LSH blocking: P=${r.precision} R=${r.recall} F1=${r.f1} ($r)")
+    assert(r.precision == 1.0 && r.recall >= 0.9, r.toString)
+  }
+
+  test("hybrid (LSH + exact-shingle) pipeline reaches pairwise F1 >= 0.99") {
+    val res = Pipeline.run(t, Pipeline.Config(maxBlockSize = 500))
+    val r = PairEval.pairwise(res.clusters, labels)
+    info(s"hybrid blocking: P=${r.precision} R=${r.recall} F1=${r.f1} ($r)")
+    assert(r.f1 >= 0.99, r.toString)
+  }
+
+  test("hot blocks are capped and the drop is reported, not silent") {
+    // tiny cap forces stopword-shingle blocks over the cap
+    val blocks = Blocking.exactShingleBlocks(DocAssembly.assemble(t), 1)
+    val (pairs, dropped) = Blocking.pairsFromBlocks(blocks, maxBlockSize = 10)
+    assert(dropped.count() > 0)
+    val maxPairKey = pairs.groupBy().agg(max("n_blocks")).as[Long].head()
+    assert(maxPairKey > 0)
+  }
+
+  test("checkpointed run resumes from snapshots and is byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val io = new ParquetTableIO(spark, dir)
+    val cfg = Pipeline.Config(blocking = Pipeline.ExactBlocking, maxBlockSize = 500)
+    val first = Pipeline.runCheckpointed(t, cfg, io).clusters.orderBy("conv_id").collect()
+    // second run must reuse every stage snapshot (resume) and match exactly
+    val second = Pipeline.runCheckpointed(t, cfg, io).clusters.orderBy("conv_id").collect()
+    assert(first.sameElements(second))
+    assert(io.exists("clusters") && io.exists("edges") && io.exists("docs"))
+    assert(io.readMetrics().nonEmpty)
+  }
+}
