@@ -1,24 +1,81 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.pipeline.{Pipeline, TranscriptGen}
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+  *  "pipeline":{...}} where "pipeline" carries the north-rule scaling
+  * evidence: the same end-to-end record-linkage job at two parallelism
+  * levels (local[N] and local[4N] as the sandbox proxy for N vs 4N
+  * executors), throughput in turns/sec at both, and the normalized
+  * scaling efficiency (speedup / 4).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** One full pipeline run; returns (turns, seconds). */
+  private def pipelineRun(spark: SparkSession, nBase: Long): (Long, Double) = {
+    val t = TranscriptGen.transcripts(spark, nBase, dupsPerBase = 2)
+    val t0 = System.nanoTime()
+    val turns = t.count()
+    val clusters = Pipeline.run(t).clusters
+    clusters.write.mode("overwrite").format("noop").save()
+    (turns, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scaleBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_NBASE", "6000").toLong
+
+    // --- operator queries at the requested parallelism ---
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // --- north-rule scaling: same job, two parallelism levels ---
+    val loCores = math.max(cpus / 4, 2)
+    spark = session(loCores)
+    pipelineRun(spark, math.min(scaleBase, 500L)) // warmup (JIT, codegen cache)
+    val (turnsLo, tLo) = pipelineRun(spark, scaleBase)
+    spark.stop()
+
+    spark = session(cpus)
+    pipelineRun(spark, math.min(scaleBase, 500L))
+    val (turnsHi, tHi) = pipelineRun(spark, scaleBase)
+    spark.stop()
+
+    val thrLo = turnsLo / tLo
+    val thrHi = turnsHi / tHi
+    val eff = (thrHi / thrLo) / (cpus.toDouble / loCores)
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val pipeline =
+      f"""{"turns":$turnsHi,"cores_lo":$loCores,"cores_hi":$cpus,""" +
+        f""""sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,""" +
+        f""""turns_per_sec_lo":$thrLo%.1f,"turns_per_sec_hi":$thrHi%.1f,""" +
+        f""""scaling_efficiency":$eff%.3f}"""
+    println(
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipeline}""")
   }
 }

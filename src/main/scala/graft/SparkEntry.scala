@@ -1,13 +1,499 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions._
+import graft.operators._
+import graft.pipeline._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 has a `queries` entry;
+  * SQL-expressible ones also have a DuckDB oracle in [[oracleSql]] with
+  * IDENTICAL column names and matched rounding. Entries without an oracle
+  * (minhash/simhash/IVF/pipeline — driver-side rows-only check) are the
+  * hash-based operators DuckDB cannot reproduce.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The shared normalized-token expression, kept textually in sync with
+    * the `NORM`/`TOKS` macros of the oracle SQL below.
+    */
+  private def toks(c: Column) = tokens(c)
+
+  /** Flagship: the full record-linkage pipeline on a deterministic
+    * synthetic transcript table (BASELINE.json north rule) — clusters of
+    * near-duplicate conversations. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val transcripts = TranscriptGen.transcripts(spark, nBase = 40, dupsPerBase = 2)
+    Pipeline.run(transcripts).clusters
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / projections / filters (SURVEY §2.1, §2.2) ----
+    "q01_preprocess" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), norm_text(col("text")).as("norm"))),
+
+    // ---- n-gram generation (SURVEY §2.7, query.py:72-86) ----
+    "q02_ngrams" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(ngrams_up_to(toks(col("text")), 3)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 3)),
+
+    // ---- commonness aggregation (SURVEY §2.4, query.py:309-330) ----
+    "q03_commonness" -> ((s, d) =>
+      ReferenceOps.commonness(t(s, d, "documents"), "text", "lang", 0.2)),
+
+    // ---- candidate-generation join (SURVEY §2.3, query.py:161-167) ----
+    "q04_surface_join" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dict = docs.select(explode(toks(col("text"))).as("surface"),
+        col("lang").as("entity")).distinct()
+      val qs = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      ReferenceOps.surfaceFormJoin(qs, dict, 2)
+        .groupBy("qid", "entity").agg(count(lit(1)).as("matches"))
+    }),
+
+    // ---- rank + tie semantics + dedup keep-max (SURVEY §2.5, cer_instances.py:201-237) ----
+    "q05_rank_dedup" -> ((s, d) =>
+      ReferenceOps.rankCandidates(
+        t(s, d, "documents").select(col("lang"), col("source"),
+          col("n_chars").cast("double").as("score")),
+        "lang", "source", "score", 5)
+        .withColumn("rnk", col("rnk").cast("long"))),
+
+    // ---- per-group top-k (SURVEY §2.5) ----
+    "q06_topk_orders" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // ---- aggregation with exact decimal sums (SURVEY §2.4) ----
+    "q07_agg_pricing" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+          count(lit(1)).as("count_order"))),
+
+    // ---- multi-join + agg, broadcast dims (SURVEY §2.3) ----
+    "q08_join_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // ---- anti join (SURVEY §2.3, train_set_cer.py:67-90) ----
+    "q09_cust_no_orders" -> ((s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // ---- set ops (SURVEY §2.6) ----
+    "q10_setops" -> ((s, d) =>
+      t(s, d, "lineitem").select(col("l_returnflag").as("v")).distinct()
+        .union(t(s, d, "orders").select(col("o_orderstatus").as("v")).distinct())
+        .distinct()),
+
+    // ---- blocking: shingle blocks (SURVEY §7, graft blocking stage) ----
+    "q11_shingle_blocks" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(word_shingles(toks(col("text")), 3))).as("shingle"))
+        .groupBy("shingle").agg(countDistinct("doc_id").as("n_docs"))
+        .where(col("n_docs").between(2, 64))),
+
+    // ---- blocking: candidate pairs with cap (graft pairs stage) ----
+    "q12_candidate_pairs" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(word_shingles(toks(col("text")), 3))).as("shingle"))
+      val keep = sh.groupBy("shingle").agg(count(lit(1)).as("bs"))
+        .where(col("bs").between(2, 64)).select("shingle")
+      val b = sh.join(keep, "shingle")
+      b.as("x").join(b.as("y"), "shingle")
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // ---- pairwise scoring kernels (graft scoring stage; scorer.py analog) ----
+    "q13_pair_scores" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(word_shingles(toks(col("text")), 3))).as("shingle"))
+      val keep = sh.groupBy("shingle").agg(count(lit(1)).as("bs"))
+        .where(col("bs").between(2, 64)).select("shingle")
+      val b = sh.join(keep, "shingle")
+      val pairs = b.as("x").join(b.as("y"), "shingle")
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+      val feat = docs.select(col("doc_id"),
+        array_distinct(toks(col("text"))).as("ts"),
+        substring(norm_text(col("text")), 1, 64).as("pref"))
+      pairs
+        .join(feat.select(col("doc_id").as("a"), col("ts").as("ts_a"), col("pref").as("pref_a")), "a")
+        .join(feat.select(col("doc_id").as("b"), col("ts").as("ts_b"), col("pref").as("pref_b")), "b")
+        .select(col("a"), col("b"),
+          round(token_jaccard(col("ts_a"), col("ts_b")), 4).as("jaccard"),
+          round(jaro_winkler(col("pref_a"), col("pref_b")), 4).as("jw"),
+          round(levenshtein_sim(col("pref_a"), col("pref_b"), 65), 4).as("lev_sim"))
+    }),
+
+    // ---- exact dedup (training-data op) ----
+    "q14_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"))),
+
+    // ---- n-gram Jaccard near-dup (training-data op) ----
+    "q15_neardup_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.5, 64)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))),
+
+    // ---- language ID + quality scoring (training-data ops) ----
+    "q16_lang_quality" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"),
+        TextAnalysis.qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"), col("lang_guess"), col("q.n_tokens").as("n_tokens"),
+          col("q.alpha_ratio").as("alpha_ratio"), col("q.stop_ratio").as("stop_ratio"),
+          col("q.mean_tok_len").as("mean_tok_len"), col("q.quality").as("quality"))),
+
+    // ---- token counting (training-data op) ----
+    "q17_token_counts" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCounts(col("text")).as("c"))
+        .select(col("doc_id"), col("c.ws_tokens").as("ws_tokens"),
+          col("c.bpe_tokens").as("bpe_tokens"))),
+
+    // ---- document fingerprint (training-data op) ----
+    "q18_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ---- ANN brute-force top-k (training-data op) ----
+    "q19_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.bruteForceTopK(emb.where(col("vec_id") < 20), emb, 5)
+        .withColumn("rnk", col("rnk").cast("long"))
+    }),
+
+    // ---- ANN IVF top-k (scale path; hash-free but row_number-heavy — rows-only) ----
+    "q20_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.ivfTopK(emb.where(col("vec_id") < 20), emb, 5, 16, 4)
+        .withColumn("rnk", col("rnk").cast("long"))
+    }),
+
+    // ---- MinHash-LSH near-dup (hash-based — rows-only) ----
+    "q21_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text", 3, 64, 16, 0.5, 64)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))),
+
+    // ---- SimHash near-dup (hash-based — rows-only) ----
+    "q22_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 12, 64)),
+
+    // ---- embedding cosine near-dup (hash-based LSH — rows-only) ----
+    "q23_emb_neardup" -> ((s, d) =>
+      // the synthetic embeddings are near-orthogonal (max pairwise cosine
+      // ≈ 0.48), so the "near-dup" band is calibrated to the top tail
+      Dedup.embeddingCosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", 6, 0.25, 256)
+        .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))),
+
+    // ---- sessionization window op over events ----
+    "q24_sessionize" -> ((s, d) =>
+      ReferenceOps.sessionize(t(s, d, "events"), 1800)
+        .select("user_id", "event_id", "session_seq")),
+
+    // ---- multimodal plumbing: binary payloads + typed metadata ----
+    "q25_media_stats" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(t(s, d, "documents"))
+      media.groupBy("kind").agg(count(lit(1)).as("n_media"),
+        sum(length(col("bytes"))).as("total_bytes"))
+    }),
+
+    // ---- min-max normalization window (set_generator.py:40-57) ----
+    "q26_minmax_norm" -> ((s, d) =>
+      ReferenceOps.minMaxNormalize(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("score")),
+        "l_orderkey", "score")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          round(col("norm_score"), 4).as("norm_score"))),
+
+    // ---- JSON extraction over events.props ----
+    "q27_json_extract" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // ---- full ER pipeline on synthetic transcripts (north rule; rows-only) ----
+    "q28_pipeline_clusters" -> ((s, d) => {
+      val tr = TranscriptGen.transcripts(s, nBase = 50, dupsPerBase = 2)
+      Pipeline.run(tr).clusters
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // ---- multimodal decode boundary + frame sampling (rows-only) ----
+    "q29_media_decode" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(t(s, d, "documents"))
+      Multimodal.decodeStub(media, 8).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(col("features")(0).cast("double"), 4).as("f0"))
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles. Macro strings kept textually aligned with the Spark
+  // expressions above; every aggregate/computed column aliased to the
+  // same name as the Spark side.
+  // ------------------------------------------------------------------
+  private val NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val TOKS = s"list_filter(regexp_split_to_array($NORM, ' '), x -> x <> '')"
+  // all word n-grams of lengths 1..N (space-joined)
+  private def NGRAMS(n: Int) =
+    s"flatten([[array_to_string(t[i:i+n-1], ' ') for i in range(1, len(t)-n+2)] for n in range(1, least($n, len(t))+1)])"
+  // contiguous k-shingles with whole-doc fallback
+  private def SHINGLES(k: Int) =
+    s"CASE WHEN len(t) < $k THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+${k - 1}], ' ') for i in range(1, len(t)-${k - 2})] END"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_preprocess" ->
+      s"SELECT doc_id, $NORM AS norm FROM documents",
+
+    "q02_ngrams" ->
+      s"""SELECT ngram, count(*) AS cnt FROM (
+            SELECT unnest(${NGRAMS(3)}) AS ngram
+            FROM (SELECT $TOKS AS t FROM documents))
+          GROUP BY ngram HAVING count(*) >= 3""",
+
+    "q03_commonness" ->
+      s"""WITH tok AS (SELECT unnest($TOKS) AS surface, lang AS entity FROM documents),
+            c AS (SELECT surface, entity, count(*) AS cnt FROM tok GROUP BY 1, 2)
+          SELECT surface, entity, cnt, round(cmn, 4) AS cmn FROM (
+            SELECT surface, entity, cnt,
+                   cnt::DOUBLE / (sum(cnt) OVER (PARTITION BY surface))::DOUBLE AS cmn
+            FROM c) WHERE cmn >= 0.2""",
+
+    "q04_surface_join" ->
+      s"""WITH dt AS (SELECT doc_id, lang, $TOKS AS t FROM documents),
+            dict AS (SELECT DISTINCT unnest(t) AS surface, lang AS entity FROM dt),
+            ng AS (SELECT doc_id AS qid, unnest(${NGRAMS(2)}) AS surface
+                   FROM dt WHERE doc_id % 17 = 0)
+          SELECT qid, entity, count(*) AS matches
+          FROM ng JOIN dict USING (surface) GROUP BY 1, 2""",
+
+    "q05_rank_dedup" ->
+      """WITH d AS (SELECT lang, source, n_chars::DOUBLE AS score,
+                     row_number() OVER (PARTITION BY lang, source ORDER BY n_chars DESC) AS rn
+                   FROM documents),
+            r AS (SELECT lang, source, score,
+                     dense_rank() OVER (PARTITION BY lang ORDER BY score DESC) AS rnk
+                  FROM d WHERE rn = 1)
+          SELECT lang, source, score, rnk FROM r WHERE rnk <= 5""",
+
+    "q06_topk_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+
+    "q07_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                (sum(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty,
+                (sum(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS sum_base,
+                count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q08_join_revenue" ->
+      """SELECT n_name,
+                (sum(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS revenue,
+                count(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "q09_cust_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q10_setops" ->
+      """SELECT DISTINCT l_returnflag AS v FROM lineitem
+         UNION
+         SELECT DISTINCT o_orderstatus AS v FROM orders""",
+
+    "q11_shingle_blocks" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(${SHINGLES(3)})) AS shingle
+                      FROM (SELECT doc_id, $TOKS AS t FROM documents))
+          SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM sh
+          GROUP BY shingle HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64""",
+
+    "q12_candidate_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(${SHINGLES(3)})) AS shingle
+                      FROM (SELECT doc_id, $TOKS AS t FROM documents)),
+            keep AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) BETWEEN 2 AND 64),
+            b AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle))
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+          FROM b x JOIN b y USING (shingle)
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2""",
+
+    "q13_pair_scores" ->
+      s"""WITH dt AS (SELECT doc_id, $TOKS AS t FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(${SHINGLES(3)})) AS shingle FROM dt),
+            keep AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) BETWEEN 2 AND 64),
+            bb AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+                      FROM bb x JOIN bb y USING (shingle)
+                      WHERE x.doc_id < y.doc_id GROUP BY 1, 2 HAVING count(*) >= 2),
+            feat AS (SELECT doc_id, list_distinct($TOKS) AS ts,
+                            substr($NORM, 1, 64) AS pref FROM documents)
+          SELECT a, b,
+                 round(CASE WHEN len(list_distinct(fa.ts || fb.ts)) = 0 THEN 0
+                       ELSE len(list_intersect(fa.ts, fb.ts))::DOUBLE
+                            / len(list_distinct(fa.ts || fb.ts))::DOUBLE END, 4) AS jaccard,
+                 round(jaro_winkler_similarity(fa.pref, fb.pref), 4) AS jw,
+                 round(CASE WHEN greatest(len(fa.pref), len(fb.pref)) = 0 THEN 1.0
+                       ELSE 1.0 - levenshtein(fa.pref, fb.pref)::DOUBLE
+                            / greatest(len(fa.pref), len(fb.pref))::DOUBLE END, 4) AS lev_sim
+          FROM pairs JOIN feat fa ON pairs.a = fa.doc_id
+                     JOIN feat fb ON pairs.b = fb.doc_id""",
+
+    "q14_dedup_exact" ->
+      s"""SELECT doc_id, keeper_id, doc_id <> keeper_id AS is_dup FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY $NORM) AS keeper_id
+            FROM documents)""",
+
+    "q15_neardup_jaccard" ->
+      s"""WITH dt AS (SELECT doc_id, $TOKS AS t FROM documents),
+            shl AS (SELECT doc_id, list_distinct(${SHINGLES(3)}) AS shs FROM dt),
+            sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
+            keep AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) BETWEEN 2 AND 64),
+            bb AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+                      FROM bb x JOIN bb y USING (shingle)
+                      WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+          SELECT a, b, round(jacc, 4) AS jaccard FROM (
+            SELECT a, b,
+                   CASE WHEN len(list_distinct(sa.shs || sb.shs)) = 0 THEN 0
+                        ELSE len(list_intersect(sa.shs, sb.shs))::DOUBLE
+                             / len(list_distinct(sa.shs || sb.shs))::DOUBLE END AS jacc
+            FROM pairs JOIN shl sa ON pairs.a = sa.doc_id
+                       JOIN shl sb ON pairs.b = sb.doc_id)
+          WHERE jacc >= 0.5""",
+
+    "q16_lang_quality" -> {
+      val langs = TextAnalysis.StopwordsByLang
+      def hits(ws: Seq[String]) =
+        s"len(list_intersect(t, [${ws.map(w => s"'$w'").mkString(", ")}]))"
+      val allStop = langs.flatMap(_._2).distinct
+      val hitCols = langs.map { case (l, ws) => s"${hits(ws)} AS h_$l" }.mkString(", ")
+      val caseExpr = langs.map { case (l, _) =>
+        val others = langs.map(_._1).filter(_ != l)
+        // earlier languages win ties (same priority order as the Spark side)
+        val cond = others.map { o =>
+          if (langs.indexWhere(_._1 == o) < langs.indexWhere(_._1 == l)) s"h_$l > h_$o"
+          else s"h_$l >= h_$o"
+        }.mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }.mkString(" ")
+      s"""WITH base AS (SELECT doc_id, text, $TOKS AS t FROM documents),
+            h AS (SELECT doc_id, text, t, len(t) AS n, $hitCols FROM base)
+          SELECT doc_id,
+                 CASE WHEN ${langs.map(l => s"h_${l._1} = 0").mkString(" AND ")} THEN 'und'
+                      $caseExpr END AS lang_guess,
+                 n::BIGINT AS n_tokens,
+                 round(CASE WHEN len(text) = 0 THEN 0 ELSE
+                   len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))::DOUBLE
+                   / len(text)::DOUBLE END, 4) AS alpha_ratio,
+                 round(CASE WHEN n = 0 THEN 0 ELSE
+                   len(list_intersect(t, [${allStop.map(w => s"'$w'").mkString(", ")}]))::DOUBLE
+                   / n::DOUBLE END, 4) AS stop_ratio,
+                 round(CASE WHEN n = 0 THEN 0 ELSE
+                   (len($NORM)::DOUBLE - (n - 1)) / n::DOUBLE END, 4) AS mean_tok_len,
+                 floor((least(n / 64.0, 1.0) * 0.4
+                   + (CASE WHEN len(text) = 0 THEN 0 ELSE
+                      len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))::DOUBLE
+                      / len(text)::DOUBLE END) * 0.3
+                   + (CASE WHEN n > 0 AND (len($NORM)::DOUBLE - (n - 1)) / n::DOUBLE
+                        BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3) * 10000 + 0.5)
+                   / 10000.0 AS quality
+          FROM h"""
+    },
+
+    "q17_token_counts" ->
+      s"""SELECT doc_id, len($TOKS)::BIGINT AS ws_tokens,
+                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens
+          FROM documents""",
+
+    "q18_fingerprint" ->
+      s"""SELECT doc_id,
+                 list_reduce(list_prepend(0::BIGINT,
+                   [ascii(x)::BIGINT * 31 + len(x) for x in $TOKS]),
+                   (acc, v) -> (acc * 131 + v) % 1000000007) AS fp
+          FROM documents""",
+
+    "q19_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+            s AS (SELECT q.query_id, c.vec_id AS nbr_id,
+                    round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+                  FROM q, embeddings c WHERE c.vec_id <> q.query_id)
+          SELECT query_id, nbr_id, cosine, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, nbr_id) AS rnk FROM s)
+          WHERE rnk <= 5""",
+
+    "q24_sessionize" ->
+      """SELECT user_id, event_id,
+                (sum(CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
+                    THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+         FROM (SELECT user_id, event_id, ts,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events)""",
+
+    "q25_media_stats" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+                count(*) AS n_media, sum(octet_length(encode(text)))::BIGINT AS total_bytes
+         FROM documents GROUP BY 1""",
+
+    "q26_minmax_norm" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+                round(CASE WHEN mx = mn THEN 0.5
+                      ELSE (score - mn) / (mx - mn) END, 4) AS norm_score
+         FROM (SELECT l_orderkey, l_linenumber, l_quantity::DOUBLE AS score,
+                 min(l_quantity::DOUBLE) OVER (PARTITION BY l_orderkey) AS mn,
+                 max(l_quantity::DOUBLE) OVER (PARTITION BY l_orderkey) AS mx
+               FROM lineitem)""",
+
+    "q27_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events"""
+  )
 }

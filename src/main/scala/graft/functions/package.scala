@@ -40,10 +40,13 @@ package object functions {
     * codegen'd, no UDF.
     */
   def ngrams_up_to(toks: Column, maxN: Int): Column =
-    flatten(
-      transform(sequence(lit(1), least(lit(maxN), size(toks))), n =>
-        transform(sequence(lit(1), size(toks) - n + 1), i =>
-          array_join(slice(toks, i, n), " "))))
+    // guard: sequence(1, 0) would count *down* ([1,0]), so empty input
+    // must short-circuit to an empty array
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(flatten(
+        transform(sequence(lit(1), least(lit(maxN), size(toks))), n =>
+          transform(sequence(lit(1), size(toks) - n + 1), i =>
+            array_join(slice(toks, i, n), " ")))))
 
   /** Contiguous word shingles of exactly k tokens (space-joined); docs with
     * fewer than k tokens yield the whole doc as a single shingle so no doc
