@@ -28,3 +28,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// extra JVM opts for experiments (e.g. GC choice) without editing the build
+javaOptions ++= sys.env.get("GRAFT_JVM_OPTS").map(_.trim.split("\\s+").toSeq).getOrElse(Seq.empty)

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the blocking hot path. Both are
+  * codegen'd (the generated code calls the static kernels in
+  * [[HashingKernels]] — same pattern as Spark's own hash expressions), so
+  * the LSH stage stays inside whole-stage codegen with zero boxed
+  * allocation per row.
+  */
+case class MinHashBandKeysExpr(child: Expression, shingleK: Int, numHashes: Int,
+                               bands: Int) extends UnaryExpression {
+  require(numHashes % bands == 0, s"numHashes $numHashes not divisible by bands $bands")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_band_keys requires array<string>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_band_keys"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.minhashBandKeys(input.asInstanceOf[ArrayData], shingleK, numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashingKernels.minhashBandKeys($c, $shingleK, $numHashes, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got $other")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashingKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

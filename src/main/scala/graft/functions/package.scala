@@ -106,11 +106,23 @@ package object functions {
     when(denom === 0d, 0d).otherwise(dot(a, b) / denom)
   }
 
-  /** 64-bit SimHash from an array of token strings, via bit-vote counting
-    * expressed with built-ins: for each bit, sum of ±1 votes over the
-    * xxhash64 of each token.
+  /** MinHash-LSH band keys over k-token shingles — native codegen'd
+    * expression (the blocking hot path; see [[HashingKernels]] for why the
+    * HOF composition was replaced).
     */
-  def simhash64(toks: Column): Column = {
+  def minhash_band_keys(toks: Column, shingleK: Int, numHashes: Int, bands: Int): Column =
+    Internals.column(
+      MinHashBandKeysExpr(Internals.expression(toks), shingleK, numHashes, bands))
+
+  /** 64-bit SimHash of a token array — native codegen'd expression. */
+  def simhash64(toks: Column): Column =
+    Internals.column(SimHash64Expr(Internals.expression(toks)))
+
+  /** HOF-composed SimHash (kept as the slow-but-transparent reference
+    * implementation; unit tests cross-check the native expression's
+    * bit-vote semantics against this shape).
+    */
+  def simhash64_hof(toks: Column): Column = {
     val hashes = transform(toks, t => xxhash64(t))
     // single pass over tokens: 64 running bit-votes carried as an array
     val counts = aggregate(hashes, array_repeat(lit(0), 64),

@@ -53,10 +53,16 @@ object Blocking {
                        bands: Int): DataFrame = {
     require(numHashes % bands == 0, s"numHashes $numHashes % bands $bands != 0")
     val r = numHashes / bands
-    val sig = minhash_signature(word_shingles(col("tokens"), shingleK), numHashes)
+    // native codegen'd kernel: one hash per shingle + long-remix per slot.
+    // (The first cut composed transform/aggregate HOFs — interpreted,
+    // boxed, and with the signature re-evaluated per band: 20×+ slower and
+    // GC-bound. See HashingKernels.)
+    val _ = r
     docs
       .where(size(col("tokens")) > 0)
-      .select(col("conv_id"), explode(band_keys(sig, bands, r)).as("block_key"))
+      .select(col("conv_id"),
+        explode(minhash_band_keys(col("tokens"), shingleK, numHashes, bands))
+          .as("block_key"))
   }
 
   /** Pairs from blocks with an explicit oversize cap.

