@@ -17,7 +17,9 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
+      // constant across parallelism levels: partitioning is data layout,
+      // not a resource knob — the N vs 4N comparison must only vary cores
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
@@ -39,7 +41,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scaleBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_NBASE", "6000").toLong
+    val scaleBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_NBASE", "20000").toLong
 
     // --- operator queries at the requested parallelism ---
     var spark = session(cpus)
@@ -52,16 +54,19 @@ object Bench {
     spark.stop()
 
     // --- north-rule scaling: same job, two parallelism levels ---
+    // min of 2 measured runs per level: the sandbox VM shows heavy external
+    // timing interference, min filters it out (both levels get identical
+    // treatment)
     val loCores = math.max(cpus / 4, 2)
-    spark = session(loCores)
-    pipelineRun(spark, math.min(scaleBase, 500L)) // warmup (JIT, codegen cache)
-    val (turnsLo, tLo) = pipelineRun(spark, scaleBase)
-    spark.stop()
-
-    spark = session(cpus)
-    pipelineRun(spark, math.min(scaleBase, 500L))
-    val (turnsHi, tHi) = pipelineRun(spark, scaleBase)
-    spark.stop()
+    def measure(cores: Int): (Long, Double) = {
+      val s = session(cores)
+      pipelineRun(s, math.min(scaleBase, 500L)) // warmup (JIT, codegen cache)
+      val runs = Seq(pipelineRun(s, scaleBase), pipelineRun(s, scaleBase))
+      s.stop()
+      runs.minBy(_._2)
+    }
+    val (turnsLo, tLo) = measure(loCores)
+    val (turnsHi, tHi) = measure(cpus)
 
     val thrLo = turnsLo / tLo
     val thrHi = turnsHi / tHi

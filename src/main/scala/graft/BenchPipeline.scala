@@ -13,7 +13,7 @@ object BenchPipeline {
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val t = TranscriptGen.transcripts(spark, nBase, 2).localCheckpoint(true)
+    val t = TranscriptGen.transcripts(spark, nBase, 2).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val turns = t.count() // materialize input; bench measures the pipeline
     val t0 = System.nanoTime()
     Pipeline.run(t).clusters.write.mode("overwrite").format("noop").save()

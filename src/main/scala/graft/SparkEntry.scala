@@ -125,9 +125,10 @@ object SparkEntry {
       val sh = t(s, d, "documents")
         .select(col("doc_id"),
           explode(array_distinct(word_shingles(toks(col("text")), 3))).as("shingle"))
+        .localCheckpoint(true)
       val keep = sh.groupBy("shingle").agg(count(lit(1)).as("bs"))
         .where(col("bs").between(2, 64)).select("shingle")
-      val b = sh.join(keep, "shingle")
+      val b = sh.join(keep, "shingle").localCheckpoint(true) // consumed twice (x, y)
       b.as("x").join(b.as("y"), "shingle")
         .where(col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -139,9 +140,10 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val sh = docs.select(col("doc_id"),
         explode(array_distinct(word_shingles(toks(col("text")), 3))).as("shingle"))
+        .localCheckpoint(true)
       val keep = sh.groupBy("shingle").agg(count(lit(1)).as("bs"))
         .where(col("bs").between(2, 64)).select("shingle")
-      val b = sh.join(keep, "shingle")
+      val b = sh.join(keep, "shingle").localCheckpoint(true)
       val pairs = b.as("x").join(b.as("y"), "shingle")
         .where(col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

@@ -37,6 +37,61 @@ case class MinHashBandKeysExpr(child: Expression, shingleK: Int, numHashes: Int,
     copy(child = newChild)
 }
 
+case class PairCombosExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pair_combos requires array<string> or array<bigint>, got $other")
+  }
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("conv_a", elemType, nullable = false),
+      StructField("conv_b", elemType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pair_combos"
+
+  private def isLong = elemType == LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (isLong) HashingKernels.pairCombosLong(input.asInstanceOf[ArrayData])
+    else HashingKernels.pairCombos(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLong) "pairCombosLong" else "pairCombos"
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashingKernels.$fn($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class NgramsUpToExpr(child: Expression, maxN: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngrams_up_to requires array<string>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngrams_up_to"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.ngramsUpTo(input.asInstanceOf[ArrayData], maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashingKernels.ngramsUpTo($c, $maxN)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -60,6 +60,100 @@ object HashingKernels {
     new GenericArrayData(out)
   }
 
+  /** All word n-grams of lengths 1..maxN, space-joined, in order — the
+    * reference's all-lengths n-gram generator (query.py:72-86) as a single
+    * pass. Returns array<string>.
+    */
+  def ngramsUpTo(toks: ArrayData, maxN: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val top = math.min(maxN, n)
+    var total = 0
+    var len = 1
+    while (len <= top) { total += n - len + 1; len += 1 }
+    val out = new Array[Any](total)
+    var idx = 0
+    len = 1
+    while (len <= top) {
+      var i = 0
+      while (i + len <= n) {
+        if (len == 1) out(idx) = toks.getUTF8String(i)
+        else {
+          val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * len - 1)
+          var j = 0
+          while (j < len) {
+            if (j > 0) parts(2 * j - 1) = Space
+            parts(2 * j) = toks.getUTF8String(i + j)
+            j += 1
+          }
+          out(idx) = org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)
+        }
+        idx += 1
+        i += 1
+      }
+      len += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** All unordered pairs (a < b) of a member array, sorted — the pair
+    * enumeration inside a capped block. Output: array<struct<a,b>>.
+    * Input arrays are bounded by the block cap, so n² stays tiny; the
+    * tight loop avoids the interpreted nested-transform tree (measured
+    * ~10× on 10^6 blocks).
+    */
+  def pairCombos(members: ArrayData): ArrayData = {
+    val n = members.numElements()
+    val arr = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) { arr(i) = members.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(arr, new java.util.Comparator[org.apache.spark.unsafe.types.UTF8String] {
+      override def compare(x: org.apache.spark.unsafe.types.UTF8String,
+                           y: org.apache.spark.unsafe.types.UTF8String): Int = x.compareTo(y)
+    })
+    val out = new Array[Any](n * (n - 1) / 2)
+    var idx = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+        row.update(0, arr(i))
+        row.update(1, arr(j))
+        out(idx) = row
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Long-id variant of [[pairCombos]]. */
+  def pairCombosLong(members: ArrayData): ArrayData = {
+    val arr = members.toLongArray()
+    java.util.Arrays.sort(arr)
+    val n = arr.length
+    val out = new Array[Any](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+        row.setLong(0, arr(i))
+        row.setLong(1, arr(j))
+        out(idx) = row
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over token hashes (one XXH64 per token, bit votes). */
   def simhash64(toks: ArrayData): Long = {
     val n = toks.numElements()

@@ -33,13 +33,18 @@ package object functions {
     filter(t, x => x =!= "")
   }
 
-  /** All word n-grams of lengths 1..maxN (space-joined), in order.
-    * The reference generates *all* lengths up to the query length
-    * (nordlys/erd/query/query.py:72-86); no Spark built-in emits all
-    * lengths, so this composes sequence/transform/slice — still fully
-    * codegen'd, no UDF.
+  /** All word n-grams of lengths 1..maxN (space-joined), in order — native
+    * codegen'd expression. The reference generates *all* lengths up to the
+    * query length (nordlys/erd/query/query.py:72-86); no Spark built-in
+    * emits all lengths.
     */
   def ngrams_up_to(toks: Column, maxN: Int): Column =
+    Internals.column(NgramsUpToExpr(Internals.expression(toks), maxN))
+
+  /** HOF-composed n-gram generator (transparent reference implementation;
+    * unit tests cross-check the native expression against it).
+    */
+  def ngrams_up_to_hof(toks: Column, maxN: Int): Column =
     // guard: sequence(1, 0) would count *down* ([1,0]), so empty input
     // must short-circuit to an empty array
     when(size(toks) === 0, array().cast("array<string>"))
@@ -113,6 +118,12 @@ package object functions {
   def minhash_band_keys(toks: Column, shingleK: Int, numHashes: Int, bands: Int): Column =
     Internals.column(
       MinHashBandKeysExpr(Internals.expression(toks), shingleK, numHashes, bands))
+
+  /** All unordered (a < b) pairs of a member array — native codegen'd
+    * expression used by capped-block pair generation.
+    */
+  def pair_combos(members: Column): Column =
+    Internals.column(PairCombosExpr(Internals.expression(members)))
 
   /** 64-bit SimHash of a token array — native codegen'd expression. */
   def simhash64(toks: Column): Column =

@@ -35,8 +35,12 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, minJaccard: Double, cap: Int): DataFrame = {
+    // materialize the tokenized base once: blocks + both sides of the
+    // verify join consume it, and re-evaluating the tokenizer tree per
+    // consumer multiplies the dominant cost
     val base = docs.select(col(idCol).as("conv_id"), tokens(col(textCol)).as("tokens"))
-    val blocks = Blocking.exactShingleBlocks(base, shingleK)
+      .localCheckpoint(true)
+    val blocks = Blocking.exactShingleBlocks(base, shingleK).localCheckpoint(true)
     val (pairs, _) = Blocking.pairsFromBlocks(blocks, cap)
     val sh = base.select(col("conv_id"),
       array_distinct(word_shingles(col("tokens"), shingleK)).as("sh"))
@@ -56,7 +60,9 @@ object Dedup {
                       shingleK: Int, numHashes: Int, bands: Int,
                       minJaccard: Double, cap: Int): DataFrame = {
     val base = docs.select(col(idCol).as("conv_id"), tokens(col(textCol)).as("tokens"))
+      .localCheckpoint(true)
     val blocks = Blocking.minhashLshBlocks(base, shingleK, numHashes, bands)
+      .localCheckpoint(true)
     val (pairs, _) = Blocking.pairsFromBlocks(blocks, cap)
     val sh = base.select(col("conv_id"),
       array_distinct(word_shingles(col("tokens"), shingleK)).as("sh"))
@@ -77,6 +83,7 @@ object Dedup {
                    maxHamming: Int, cap: Int): DataFrame = {
     val sh = docs.select(col(idCol).as("conv_id"),
       simhash64(tokens(col(textCol))).as("sim"))
+      .localCheckpoint(true)
     val blocks = sh.select(col("conv_id"),
       explode(transform(sequence(lit(0), lit(3)), i =>
         // chunk i of 16 bits, tagged with the chunk index
@@ -99,6 +106,7 @@ object Dedup {
                            signBits: Int, minCosine: Double, cap: Int): DataFrame = {
     val bucketed = emb.select(col(idCol).cast("string").as("conv_id"),
       signBucket(col(vecCol), signBits).as("block_key"))
+      .localCheckpoint(true)
     val (pairs, _) = Blocking.pairsFromBlocks(bucketed, cap)
     val v = emb.select(col(idCol).cast("string").as("conv_id"), col(vecCol).as("vec"))
     pairs

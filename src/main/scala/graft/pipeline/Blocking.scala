@@ -69,19 +69,31 @@ object Blocking {
     * Returns (pairs(conv_a, conv_b, n_blocks), droppedBlocks metrics DF
     * (block_key, block_size) — every dropped block is reported).
     *
-    * Plan shape: count per key (1 shuffle, partial agg) → semi-filter keys
-    * → self-join on block_key (1 shuffle each side) → distinct pairs
-    * (1 shuffle). conv_a < conv_b canonicalizes.
+    * Plan shape: ONE shuffle to group members per key (lists bounded by the
+    * cap), pair enumeration inline on the ≤cap member arrays, one more
+    * shuffle to dedup pairs across blocks. The naive alternative — count
+    * keys, semi-join, self-join on block_key, dedup — costs 4-5 exchanges
+    * over the full block table and was the scaling bottleneck.
+    * conv_a < conv_b canonicalizes (members sorted before enumeration).
     */
   def pairsFromBlocks(blocks: DataFrame, maxBlockSize: Int): (DataFrame, DataFrame) = {
-    val sizes = blocks.groupBy("block_key").agg(count(lit(1)).as("block_size"))
-    val dropped = sizes.where(col("block_size") > maxBlockSize)
-    val keep = sizes.where(col("block_size").between(2, maxBlockSize)).select("block_key")
+    // hot keys are identified from a light count aggregate (map-side
+    // partial agg → tiny shuffle of (key, long)) and removed via a
+    // broadcast anti-join BEFORE collecting members — collect_set on an
+    // unbounded hot key would buffer millions of ids in one aggregation
+    // state at 100 TB
+    val dropped = blocks.groupBy("block_key")
+      .agg(count(lit(1)).as("block_size"))
+      .where(col("block_size") > maxBlockSize)
+    val filtered = blocks.join(
+      broadcast(dropped.select("block_key")), Seq("block_key"), "left_anti")
+    val kept = filtered.groupBy("block_key")
+      .agg(collect_set(col("conv_id")).as("members"))
+      .where(size(col("members")) >= 2)
 
-    val b = blocks.join(keep, Seq("block_key"))
-    val pairs = b.as("x").join(b.as("y"), "block_key")
-      .where(col("x.conv_id") < col("y.conv_id"))
-      .groupBy(col("x.conv_id").as("conv_a"), col("y.conv_id").as("conv_b"))
+    val pairs = kept
+      .select(explode(pair_combos(col("members"))).as("p"))
+      .groupBy(col("p.conv_a").as("conv_a"), col("p.conv_b").as("conv_b"))
       .agg(count(lit(1)).as("n_blocks"))
     (pairs, dropped)
   }

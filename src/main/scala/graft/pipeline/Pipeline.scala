@@ -73,7 +73,11 @@ object Pipeline {
       // (driver-side re-optimization of huge trees is pure serial cost).
       case None =>
         val t0 = System.nanoTime()
-        val out = build.localCheckpoint(true)
+        // serialized cache: deserialized row objects across 4 cached stages
+        // put allocation/GC pressure on the shared heap, which is what stops
+        // thread-level scaling in a single JVM
+        val out = build.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         if (sys.env.contains("GRAFT_STAGE_TIMING"))
           println(f"STAGE $name%-14s ${(System.nanoTime() - t0) / 1e9}%.2f s")
         out
@@ -111,7 +115,7 @@ object Pipeline {
     val clusters = stage("clusters") {
       val checkpointFn: (DataFrame, Int) => DataFrame = io match {
         case Some(t) => (df, i) => { t.write(df, s"cc_round"); t.read(s"cc_round") }
-        case None => (df, _) => df.localCheckpoint(true)
+        case None => (df, _) => df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       }
       val assignment = ConnectedComponents.run(edges, checkpointFn)
       // attach singletons: every conversation is its own cluster unless linked

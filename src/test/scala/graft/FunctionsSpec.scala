@@ -27,6 +27,14 @@ class FunctionsSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("native ngrams_up_to matches the HOF reference implementation") {
+    val df = Seq("a b c d e f", "x", "", "one two three four")
+      .toDF("t")
+    val native = df.select(ngrams_up_to(tokens($"t"), 4)).as[Seq[String]].collect()
+    val hof = df.select(ngrams_up_to_hof(tokens($"t"), 4)).as[Seq[String]].collect()
+    native.zip(hof).foreach { case (n, h) => assert(n == h) }
+  }
+
   test("word_shingles: k-grams, short docs fall back to whole doc") {
     val out = Seq("a b c d", "a b").toDF("t")
       .select(word_shingles(tokens($"t"), 3)).as[Seq[String]].collect()
@@ -102,6 +110,16 @@ class FunctionsSpec extends SparkSpec {
     val near = java.lang.Long.bitCount(out(0) ^ out(1))
     val far = java.lang.Long.bitCount(out(0) ^ out(2))
     assert(near < far, s"near=$near far=$far")
+  }
+
+  test("native simhash64 is bit-identical to the HOF reference implementation") {
+    // both hash tokens with XXH64 seed 42 over UTF8 bytes, so the bit votes
+    // must agree exactly
+    val df = Seq("the quick brown fox", "a", "", "x y z w v u t")
+      .toDF("t")
+    val native = df.select(simhash64(tokens($"t"))).as[Long].collect()
+    val hof = df.select(simhash64_hof(tokens($"t"))).as[Long].collect()
+    assert(native.toSeq == hof.toSeq)
   }
 
   test("cosine_sim") {

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the properties that matter at 100 TB are visible
+  * in the plan at any scale — filters reaching the parquet scan, column
+  * pruning in ReadSchema, dimension joins broadcast, codegen coverage.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("filters and column pruning reach the parquet scan") {
+    val q = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("n_chars") > 300)
+      .select("doc_id", "n_chars")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,300)]"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), plan)
+  }
+
+  test("dimension joins in q08 are broadcast, fact join is not") {
+    val q = SparkEntry.queries("q08_join_revenue")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)     // customer, nation dims
+    // the lineitem⋈orders fact join must NOT broadcast the fact side at
+    // scale; with tiny test files Spark may still broadcast both — assert
+    // only the dims here and the shape under a tightened threshold below
+  }
+
+  test("fact-fact join becomes a shuffle join when nothing fits broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      val q = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("scoring stage stays in whole-stage codegen (no UDF black boxes)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val q = docs.select(graft.functions.jaro_winkler(
+      lower($"text"), concat(lower($"text"), lit("x"))).as("jw"))
+    // custom expressions must not force a fallback plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("native minhash blocking plan: scan → project → generate, single pass") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("string").as("conv_id"),
+        graft.functions.tokens(col("text")).as("tokens"))
+    val blocks = graft.pipeline.Blocking.minhashLshBlocks(docs, 2, 96, 24)
+    val plan = blocks.queryExecution.executedPlan.toString
+    assert(plan.contains("minhash_band_keys"), plan)
+    assert(!plan.contains("Exchange"), s"blocking before pair-gen must not shuffle:\n$plan")
+  }
+}
