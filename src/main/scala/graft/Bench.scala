@@ -44,12 +44,21 @@ object Bench {
     val scaleBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_NBASE", "20000").toLong
 
     // --- operator queries at the requested parallelism ---
-    var spark = session(cpus)
+    val spark = session(cpus)
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          failed ::= name; false
+        }
+      // drop cached blocks between queries: pinned intermediates from one
+      // query must not distort the next query's memory budget
+      spark.catalog.clearCache()
+      // a failed query is reported as negative elapsed, never as a timing
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     spark.stop()
 
@@ -74,13 +83,14 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val pipeline =
       f"""{"turns":$turnsHi,"cores_lo":$loCores,"cores_hi":$cpus,""" +
         f""""sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,""" +
         f""""turns_per_sec_lo":$thrLo%.1f,"turns_per_sec_hi":$thrHi%.1f,""" +
         f""""scaling_efficiency":$eff%.3f}"""
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipeline}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","pipeline":$pipeline}""")
   }
 }

@@ -121,34 +121,26 @@ object SparkEntry {
         .where(col("n_docs").between(2, 64))),
 
     // ---- blocking: candidate pairs with cap (graft pairs stage) ----
+    // 2-exchange plan (Blocking.pairsFromBlocks): count → broadcast-anti
+    // hot keys → collect-per-block → native pair explode. The round-1
+    // 4-exchange self-join shape was the measured scaling bottleneck.
     "q12_candidate_pairs" -> ((s, d) => {
-      val sh = t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(word_shingles(toks(col("text")), 3))).as("shingle"))
-        .localCheckpoint(true)
-      val keep = sh.groupBy("shingle").agg(count(lit(1)).as("bs"))
-        .where(col("bs").between(2, 64)).select("shingle")
-      val b = sh.join(keep, "shingle").localCheckpoint(true) // consumed twice (x, y)
-      b.as("x").join(b.as("y"), "shingle")
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("n_shared"))
+      val blocks = t(s, d, "documents")
+        .select(col("doc_id").as("conv_id"),
+          explode(shingle_hashes(toks(col("text")), 3)).as("block_key"))
+      val (pairs, _) = Blocking.pairsFromBlocks(blocks, 64)
+      pairs.select(col("conv_a").as("a"), col("conv_b").as("b"),
+        col("n_blocks").as("n_shared"))
     }),
 
     // ---- pairwise scoring kernels (graft scoring stage; scorer.py analog) ----
     "q13_pair_scores" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val sh = docs.select(col("doc_id"),
-        explode(array_distinct(word_shingles(toks(col("text")), 3))).as("shingle"))
-        .localCheckpoint(true)
-      val keep = sh.groupBy("shingle").agg(count(lit(1)).as("bs"))
-        .where(col("bs").between(2, 64)).select("shingle")
-      val b = sh.join(keep, "shingle").localCheckpoint(true)
-      val pairs = b.as("x").join(b.as("y"), "shingle")
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= 2)
+      val blocks = docs.select(col("doc_id").as("conv_id"),
+        explode(shingle_hashes(toks(col("text")), 3)).as("block_key"))
+      val (allPairs, _) = Blocking.pairsFromBlocks(blocks, 64)
+      val pairs = allPairs.where(col("n_blocks") >= 2)
+        .select(col("conv_a").as("a"), col("conv_b").as("b"))
       val feat = docs.select(col("doc_id"),
         array_distinct(toks(col("text"))).as("ts"),
         substring(norm_text(col("text")), 1, 64).as("pref"))
@@ -211,8 +203,11 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))),
 
     // ---- SimHash near-dup (hash-based — rows-only) ----
+    // maxHamming=3 → 4 chunk keys; banding recall is guaranteed at this
+    // threshold (round 1 asked for 12 with 4 fixed chunks, silently
+    // missing distance-4..12 pairs)
     "q22_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 12, 64)),
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3, 64)),
 
     // ---- embedding cosine near-dup (hash-based LSH — rows-only) ----
     "q23_emb_neardup" -> ((s, d) =>

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time one (or more) SparkEntry queries at a given sf dir.
+  * Usage: runMain graft.TimeQuery <sfDir> <queryName> [queryName...]
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("GRAFT_OBJ_AGG_FALLBACK", "128"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.tail.foreach { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      println(f"TIMEQ $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -92,6 +92,54 @@ case class NgramsUpToExpr(child: Expression, maxN: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle size k=$k must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires array<string>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.wordShingles(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashingKernels.wordShingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ShingleHashesExpr(child: Expression, k: Int, seed: Long,
+                             distinct: Boolean) extends UnaryExpression {
+  require(k >= 1, s"shingle size k=$k must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires array<string>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.shingleHashes(input.asInstanceOf[ArrayData], k, seed, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashingKernels.shingleHashes($c, $k, ${seed}L, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -17,10 +17,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SimilarityKernels {
 
-  /** Jaro similarity in [0,1] over unicode code points. */
+  /** Jaro similarity in [0,1] over unicode *code points* — the same unit
+    * Catalyst's `Length` counts, so [[graft.plans.JaroWinklerLengthPrune]]'s
+    * injected length-ratio bound is semantics-preserving on
+    * supplementary-plane text (UTF-16 `charAt` iteration was not: a pair
+    * with jw ≥ τ could fail the bound and be wrongly filtered).
+    */
   def jaro(s1: String, s2: String): Double = {
-    val len1 = s1.length
-    val len2 = s2.length
+    val a = s1.codePoints().toArray
+    val b = s2.codePoints().toArray
+    jaroCp(a, b)
+  }
+
+  private def jaroCp(a: Array[Int], b: Array[Int]): Double = {
+    val len1 = a.length
+    val len2 = b.length
     if (len1 == 0 && len2 == 0) return 1.0
     if (len1 == 0 || len2 == 0) return 0.0
     val matchDist = math.max(math.max(len1, len2) / 2 - 1, 0)
@@ -34,7 +45,7 @@ object SimilarityKernels {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!matched2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!matched2(j) && a(i) == b(j)) {
           matched1(i) = true
           matched2(j) = true
           m += 1
@@ -52,7 +63,7 @@ object SimilarityKernels {
     while (i < len1) {
       if (matched1(i)) {
         while (!matched2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -63,11 +74,13 @@ object SimilarityKernels {
 
   /** Jaro-Winkler: jaro boosted by shared prefix (≤4) when jaro > 0.7. */
   def jaroWinkler(s1: String, s2: String): Double = {
-    val j = jaro(s1, s2)
+    val a = s1.codePoints().toArray
+    val b = s2.codePoints().toArray
+    val j = jaroCp(a, b)
     if (j > 0.7) {
       var l = 0
-      val maxL = math.min(4, math.min(s1.length, s2.length))
-      while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1
+      val maxL = math.min(4, math.min(a.length, b.length))
+      while (l < maxL && a(l) == b(l)) l += 1
       j + l * 0.1 * (1.0 - j)
     } else j
   }

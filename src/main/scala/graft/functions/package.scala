@@ -26,12 +26,12 @@ package object functions {
     trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
   /** Whitespace tokens of the normalized text. Empty input → empty array
-    * (split of "" yields [""], which we filter).
+    * (split of "" yields [""], which array_remove drops). array_remove
+    * rather than the `filter` HOF: higher-order functions are interpreted
+    * in Spark, and this expression sits under every blocking/scoring path.
     */
-  def tokens(c: Column): Column = {
-    val t = split(norm_text(c), " ")
-    filter(t, x => x =!= "")
-  }
+  def tokens(c: Column): Column =
+    array_remove(split(norm_text(c), " "), "")
 
   /** All word n-grams of lengths 1..maxN (space-joined), in order — native
     * codegen'd expression. The reference generates *all* lengths up to the
@@ -55,13 +55,28 @@ package object functions {
 
   /** Contiguous word shingles of exactly k tokens (space-joined); docs with
     * fewer than k tokens yield the whole doc as a single shingle so no doc
-    * is unblockable.
+    * is unblockable. Native codegen'd expression; [[word_shingles_hof]] is
+    * the transparent reference implementation tests cross-check against.
     */
   def word_shingles(toks: Column, k: Int): Column =
+    Internals.column(WordShinglesExpr(Internals.expression(toks), k))
+
+  /** HOF-composed shingle generator (interpreted — test reference only). */
+  def word_shingles_hof(toks: Column, k: Int): Column =
     when(size(toks) < k, array(array_join(toks, " ")))
       .otherwise(
         transform(sequence(lit(1), size(toks) - k + 1), i =>
           array_join(slice(toks, i, lit(k)), " ")))
+
+  /** 64-bit hashes of the k-token shingles, optionally deduplicated —
+    * the allocation-free kernel for blocking keys and Jaccard verify sets
+    * (no shingle string is materialized; token bytes are chain-hashed).
+    * `seed` namespaces hash families so different key kinds never collide
+    * structurally (e.g. exact-shingle blocks vs LSH bands in hybrid mode).
+    */
+  def shingle_hashes(toks: Column, k: Int, seed: Long = 42L,
+                     distinct: Boolean = true): Column =
+    Internals.column(ShingleHashesExpr(Internals.expression(toks), k, seed, distinct))
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum xxhash64 over the element set. Null-safe for empty arrays

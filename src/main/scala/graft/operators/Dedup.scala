@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.pipeline.Blocking
@@ -16,17 +16,55 @@ import graft.pipeline.Blocking
 object Dedup {
 
   /** Exact dedup on normalized text: one keeper (min id) per group.
-    * Returns (doc_id, keeper_id, is_dup). Single shuffle on the 64-bit
-    * text hash + a window — at 100 TB the hash groups are tiny, no skew
-    * beyond genuinely identical hot documents.
+    * Returns (doc_id, keeper_id, is_dup).
+    *
+    * Collision-safe: the hash key only *buckets* the shuffle; the window
+    * partitions on (hash, norm_text), so the keeper is chosen among rows
+    * with byte-identical normalized text — two distinct documents that
+    * collide on the 64-bit hash (statistically certain at 10^12 rows) are
+    * never merged. The cost is the normalized text riding the one shuffle,
+    * which is the same order as reading the data; `grpKey` is injectable so
+    * tests can force a collision and prove the equality check holds.
     */
-  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            grpKey: Column => Column = xxhash64(_)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("grp"))
+    val w = Window.partitionBy(col("grp"), col("norm"))
     docs
-      .select(col(idCol), xxhash64(norm_text(col(textCol))).as("grp"))
+      .select(col(idCol), norm_text(col(textCol)).as("norm"))
+      .withColumn("grp", grpKey(col("norm")))
       .withColumn("keeper_id", min(col(idCol)).over(w))
       .select(col(idCol), col("keeper_id"), (col(idCol) =!= col("keeper_id")).as("is_dup"))
+  }
+
+  /** Exact shingle-Jaccard verify over candidate pairs — the shared verify
+    * stage of all near-dup operators.
+    *
+    * Two scale properties (both root-caused in round 1):
+    *  - shingles are hashed to 64-bit longs *before* the per-pair
+    *    intersect, so the kernel compares 8-byte longs and the joins
+    *    shuffle long arrays instead of variable-length shingle strings;
+    *  - the joined pairs are explicitly repartitioned before the kernel:
+    *    the verify stage is CPU-bound, not byte-bound, and AQE's byte-based
+    *    coalescing would otherwise collapse the ~MB pair exchange into one
+    *    task (measured: 66 s single-task vs seconds wide).
+    *
+    * Jaccard over hashed distinct shingle sets equals Jaccard over the
+    * string sets absent 64-bit collisions inside one pair's union (union
+    * sizes are ~10^2-10^3, so collision odds per pair are ~10^-13).
+    */
+  private def jaccardVerify(pairs: DataFrame, base: DataFrame, shingleK: Int,
+                            minJaccard: Double): DataFrame = {
+    val sh = base.select(col("conv_id"),
+      shingle_hashes(col("tokens"), shingleK).as("sh"))
+    val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    pairs.select("conv_a", "conv_b")
+      .join(sh.select(col("conv_id").as("conv_a"), col("sh").as("sh_a")), "conv_a")
+      .join(sh.select(col("conv_id").as("conv_b"), col("sh").as("sh_b")), "conv_b")
+      .repartition(n, col("conv_a"), col("conv_b")) // explicit N: AQE keeps it
+      .withColumn("jaccard", token_jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("conv_a").as("a"), col("conv_b").as("b"), col("jaccard"))
   }
 
   /** N-gram (shingle) Jaccard near-dup pairs via exact-shingle blocking.
@@ -35,21 +73,10 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, minJaccard: Double, cap: Int): DataFrame = {
-    // materialize the tokenized base once: blocks + both sides of the
-    // verify join consume it, and re-evaluating the tokenizer tree per
-    // consumer multiplies the dominant cost
     val base = docs.select(col(idCol).as("conv_id"), tokens(col(textCol)).as("tokens"))
-      .localCheckpoint(true)
-    val blocks = Blocking.exactShingleBlocks(base, shingleK).localCheckpoint(true)
+    val blocks = Blocking.exactShingleBlocks(base, shingleK)
     val (pairs, _) = Blocking.pairsFromBlocks(blocks, cap)
-    val sh = base.select(col("conv_id"),
-      array_distinct(word_shingles(col("tokens"), shingleK)).as("sh"))
-    pairs
-      .join(sh.select(col("conv_id").as("conv_a"), col("sh").as("sh_a")), "conv_a")
-      .join(sh.select(col("conv_id").as("conv_b"), col("sh").as("sh_b")), "conv_b")
-      .withColumn("jaccard", token_jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("conv_a").as("a"), col("conv_b").as("b"), col("jaccard"))
+    jaccardVerify(pairs, base, shingleK, minJaccard)
   }
 
   /** MinHash-LSH near-dup pairs: sub-quadratic candidate generation, exact
@@ -60,35 +87,36 @@ object Dedup {
                       shingleK: Int, numHashes: Int, bands: Int,
                       minJaccard: Double, cap: Int): DataFrame = {
     val base = docs.select(col(idCol).as("conv_id"), tokens(col(textCol)).as("tokens"))
-      .localCheckpoint(true)
     val blocks = Blocking.minhashLshBlocks(base, shingleK, numHashes, bands)
-      .localCheckpoint(true)
     val (pairs, _) = Blocking.pairsFromBlocks(blocks, cap)
-    val sh = base.select(col("conv_id"),
-      array_distinct(word_shingles(col("tokens"), shingleK)).as("sh"))
-    pairs
-      .join(sh.select(col("conv_id").as("conv_a"), col("sh").as("sh_a")), "conv_a")
-      .join(sh.select(col("conv_id").as("conv_b"), col("sh").as("sh_b")), "conv_b")
-      .withColumn("jaccard", token_jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("conv_a").as("a"), col("conv_b").as("b"), col("jaccard"))
+    jaccardVerify(pairs, base, shingleK, minJaccard)
   }
 
-  /** SimHash near-dup pairs: 64-bit simhash, blocked on its four 16-bit
-    * chunks (any pair within Hamming distance ≤ 3·16-bit-chunk corruption
-    * shares at least one intact chunk — the standard Charikar banding),
-    * then exact Hamming verify.
+  /** SimHash near-dup pairs: 64-bit simhash, blocked on `maxHamming + 1`
+    * bit chunks — by pigeonhole, any pair within Hamming distance
+    * ≤ maxHamming leaves at least one chunk intact, so banding recall is
+    * *guaranteed* for the requested threshold (round-1 hardcoded 4 chunks,
+    * which only covers distance ≤ 3) — then exact Hamming verify.
+    * Chunk widths: 64/(maxHamming+1) bits, remainder spread one bit each
+    * over the leading chunks. Narrow chunks mean bigger blocks — that is
+    * the intrinsic cost of a loose threshold, bounded by `cap` (drops
+    * reported by the blocking layer, never silent).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, cap: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming $maxHamming out of range: chunks need >= 2 bits for useful blocking")
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
     val sh = docs.select(col(idCol).as("conv_id"),
       simhash64(tokens(col(textCol))).as("sim"))
-      .localCheckpoint(true)
-    val blocks = sh.select(col("conv_id"),
-      explode(transform(sequence(lit(0), lit(3)), i =>
-        // chunk i of 16 bits, tagged with the chunk index
-        xxhash64(i, call_function("shiftright", col("sim"), i * 16).bitwiseAND(0xFFFF))))
-        .as("block_key"))
+    val chunkKeys = (0 until nChunks).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      xxhash64(lit(i),
+        call_function("shiftrightunsigned", col("sim"), lit(starts(i))).bitwiseAND(lit(mask)))
+    }
+    val blocks = sh.select(col("conv_id"), explode(array(chunkKeys: _*)).as("block_key"))
     val (pairs, _) = Blocking.pairsFromBlocks(blocks, cap)
     pairs
       .join(sh.select(col("conv_id").as("conv_a"), col("sim").as("sim_a")), "conv_a")
@@ -106,12 +134,13 @@ object Dedup {
                            signBits: Int, minCosine: Double, cap: Int): DataFrame = {
     val bucketed = emb.select(col(idCol).cast("string").as("conv_id"),
       signBucket(col(vecCol), signBits).as("block_key"))
-      .localCheckpoint(true)
     val (pairs, _) = Blocking.pairsFromBlocks(bucketed, cap)
     val v = emb.select(col(idCol).cast("string").as("conv_id"), col(vecCol).as("vec"))
+    val n = emb.sparkSession.sessionState.conf.numShufflePartitions
     pairs
       .join(v.select(col("conv_id").as("conv_a"), col("vec").as("vec_a")), "conv_a")
       .join(v.select(col("conv_id").as("conv_b"), col("vec").as("vec_b")), "conv_b")
+      .repartition(n, col("conv_a"), col("conv_b")) // CPU-bound verify: keep it wide
       .withColumn("cosine", cosine_sim(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= minCosine)
       .select(col("conv_a").as("a"), col("conv_b").as("b"), col("cosine"))

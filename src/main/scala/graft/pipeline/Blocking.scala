@@ -21,14 +21,20 @@ import graft.functions._
   */
 object Blocking {
 
+  /** Hash-family seed for exact-shingle block keys — namespaced away from
+    * the LSH band-key derivation so hybrid-mode keys never collide
+    * structurally.
+    */
+  val ExactShingleSeed: Long = 0xE7AC7L
+
   /** Exact shingle blocking: docs(conv_id, tokens) → (block_key, conv_id),
-    * deduplicated. k-token shingles, hashed to long keys (tagged so exact
-    * keys never collide with LSH band keys in hybrid mode).
+    * deduplicated per doc in the kernel (no shuffle-side dropDuplicates,
+    * no shingle strings materialized — the key is chain-hashed straight
+    * from token bytes).
     */
   def exactShingleBlocks(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("conv_id"), explode(word_shingles(col("tokens"), k)).as("shingle"))
-      .select(col("conv_id"), xxhash64(lit("exact"), col("shingle")).as("block_key"))
-      .dropDuplicates("conv_id", "block_key")
+    docs.select(col("conv_id"),
+      explode(shingle_hashes(col("tokens"), k, ExactShingleSeed)).as("block_key"))
 
   /** Hybrid blocking: union of LSH band keys and exact shingle keys.
     * LSH gives sub-quadratic candidate generation on near-duplicates; the

@@ -50,8 +50,27 @@ object Pipeline {
   def runCheckpointed(transcripts: DataFrame, cfg: Config, io: TableIO): StageResult =
     runStages(transcripts, cfg, Some(io))
 
+  /** Snapshot reuse is only sound under the Config that produced the
+    * snapshots — a re-run with different parameters against the same root
+    * must fail loudly, not silently serve stale clusters. The fingerprint
+    * is stored as a one-row table in the same snapshot layout.
+    */
+  private def validateConfigFingerprint(t: TableIO, cfg: Config,
+                                        spark: org.apache.spark.sql.SparkSession): Unit = {
+    val fp = cfg.toString
+    if (t.exists("config_fingerprint")) {
+      val stored = t.read("config_fingerprint").head.getString(0)
+      require(stored == fp,
+        s"TableIO root holds snapshots for a different Config:\n  stored: $stored\n" +
+          s"  this:   $fp\nuse a fresh root (or delete the stale snapshots)")
+    } else {
+      t.write(spark.createDataFrame(Seq(Tuple1(fp))).toDF("config"), "config_fingerprint")
+    }
+  }
+
   private def runStages(transcripts: DataFrame, cfg: Config,
                         io: Option[TableIO]): StageResult = {
+    io.foreach(validateConfigFingerprint(_, cfg, transcripts.sparkSession))
     // Stage materialization: TableIO snapshot when checkpointing (reads
     // back the parquet — cuts lineage, enables resume); otherwise persist —
     // docs/blocks feed multiple consumers (self-joins, both sides of the
@@ -114,7 +133,9 @@ object Pipeline {
 
     val clusters = stage("clusters") {
       val checkpointFn: (DataFrame, Int) => DataFrame = io match {
-        case Some(t) => (df, i) => { t.write(df, s"cc_round"); t.read(s"cc_round") }
+        // one table per round (resume-from-round-k; round 1 overwrote a
+        // single "cc_round" table, making documented resume impossible)
+        case Some(t) => (df, i) => { t.write(df, s"cc_round_$i"); t.read(s"cc_round_$i") }
         case None => (df, _) => df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       }
       val assignment = ConnectedComponents.run(edges, checkpointFn)

@@ -29,6 +29,13 @@ object Skew {
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
                      salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts >= 1)
+    // right/full-outer would emit each unmatched right row once per
+    // replica (S duplicates) — only join types that never surface
+    // unmatched *right* rows are sound under right-side replication
+    val jt = joinType.toLowerCase.replaceAll("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")(jt),
+      s"saltedEquiJoin replicates the right side; joinType '$joinType' would " +
+        "duplicate unmatched right rows")
     val saltedLeft = left.withColumn("_salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)).cast("int"))
     val replicated = right

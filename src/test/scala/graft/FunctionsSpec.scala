@@ -42,6 +42,37 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1) == Seq("a b"))
   }
 
+  test("native word_shingles matches the HOF reference implementation") {
+    val df = Seq("a b c d e f g", "a b", "x", "", "one two three").toDF("t")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val native = df.select(word_shingles(tokens($"t"), k)).as[Seq[String]].collect()
+      val hof = df.select(word_shingles_hof(tokens($"t"), k)).as[Seq[String]].collect()
+      native.zip(hof).foreach { case (n, h) => assert(n == h, s"k=$k") }
+    }
+  }
+
+  test("shingle_hashes: per-doc distinct, seed-namespaced, set-isomorphic to string shingles") {
+    val df = Seq("a b c a b c a b", "a b", "", "u v w x y z").toDF("t")
+    val hashed = df.select(shingle_hashes(tokens($"t"), 2)).as[Seq[Long]].collect()
+    val strings = df.select(array_distinct(word_shingles(tokens($"t"), 2)))
+      .as[Seq[String]].collect()
+    // same distinct-set sizes (hashing is injective w.h.p. on tiny sets)
+    hashed.zip(strings).foreach { case (h, s) =>
+      assert(h.size == s.size)
+      assert(h.distinct.size == h.size)
+    }
+    // different seeds → disjoint hash families
+    val other = df.select(shingle_hashes(tokens($"t"), 2, seed = 7L)).as[Seq[Long]].collect()
+    assert(hashed(0).toSet.intersect(other(0).toSet).isEmpty)
+    // shared shingles ⇒ shared hashes: jaccard over hashes == over strings
+    val pair = Seq(("a b c d", "b c d e")).toDF("x", "y")
+    val jh = pair.select(token_jaccard(
+      shingle_hashes(tokens($"x"), 2), shingle_hashes(tokens($"y"), 2))).as[Double].head()
+    val js = pair.select(token_jaccard(
+      word_shingles(tokens($"x"), 2), word_shingles(tokens($"y"), 2))).as[Double].head()
+    assert(math.abs(jh - js) < 1e-12)
+  }
+
   test("token_jaccard") {
     val df = Seq(("a b c", "b c d"), ("a a b", "a b"), ("", "x")).toDF("x", "y")
       .select(token_jaccard(tokens($"x"), tokens($"y")).as("j")).as[Double].collect()

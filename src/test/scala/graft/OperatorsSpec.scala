@@ -23,6 +23,16 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2) == ((3L, 3L, false)))
   }
 
+  test("Dedup.exact never merges distinct texts under a forced hash collision") {
+    // every row gets the SAME group key; only the in-group text-equality
+    // check keeps them apart (the 64-bit-collision regime at 10^12 rows)
+    val d = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "Alpha, TEXT"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(d, grpKey = _ => lit(0L))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set((1L, 1L, false), (2L, 2L, false), (3L, 1L, true)))
+  }
+
   test("Dedup.ngramJaccardPairs finds the near-dup pair and not unrelated docs") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.4, 50)
       .select("a", "b").as[(Long, Long)].collect().toSet
@@ -42,6 +52,32 @@ class OperatorsSpec extends SparkSpec {
     val out = Dedup.simhashPairs(docs, "doc_id", "text", 16, 50)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(out.contains((1L, 2L)))
+  }
+
+  test("Dedup.simhashPairs banding finds ALL pairs within maxHamming (pigeonhole recall)") {
+    // planted corpus: 8 base docs, each with 3 variants perturbing 0..2
+    // tokens — variant pairs land at small Hamming distances (including 0)
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 8).flatMap { b =>
+      val base = Array.fill(60)(s"tok${rnd.nextInt(500)}b$b")
+      (0 until 3).map { v =>
+        val toks = base.clone()
+        (0 until v).foreach(k => toks(rnd.nextInt(toks.length)) = s"alt${k}v$v")
+        ((b * 3 + v).toLong, toks.mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+    for (mh <- Seq(3, 7)) {
+      val emitted = Dedup.simhashPairs(corpus, "doc_id", "text", mh, 100000)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val sims = corpus.select($"doc_id", simhash64(tokens($"text")).as("s"))
+        .as[(Long, Long)].collect()
+      val want = (for {
+        (i, si) <- sims; (j, sj) <- sims
+        if i < j && java.lang.Long.bitCount(si ^ sj) <= mh
+      } yield (i, j)).toSet
+      assert(want.nonEmpty, "fixture must contain in-threshold pairs")
+      assert(want.subsetOf(emitted), s"maxHamming=$mh missing ${want -- emitted}")
+    }
   }
 
   test("SimilaritySearch.bruteForceTopK: self excluded, k respected, exact order") {

@@ -51,6 +51,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("near-dup verify stage keeps > 1 partition (AQE must not collapse the CPU-bound kernel)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 64)
+    // the explicit fixed-N repartition before the jaccard kernel survives AQE
+    assert(out.rdd.getNumPartitions > 1,
+      s"verify stage collapsed to ${out.rdd.getNumPartitions} partition(s)")
+  }
+
   test("native minhash blocking plan: scan → project → generate, single pass") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id").cast("string").as("conv_id"),
