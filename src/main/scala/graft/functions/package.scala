@@ -115,16 +115,30 @@ package object functions {
         .otherwise(lit(1d) - d / longest))
   }
 
-  /** Cosine similarity of two numeric arrays in double precision.
-    * zip_with + aggregate keep it codegen'd; null/zero-norm → 0.0.
+  /** Cosine similarity of two numeric arrays in double precision — native
+    * codegen'd kernel (the zip_with/aggregate HOF shape is interpreted and
+    * was the ANN hot loop). Null/zero-norm → 0.0.
     */
-  def cosine_sim(a: Column, b: Column): Column = {
+  def cosine_sim(a: Column, b: Column): Column =
+    Internals.column(
+      CosineSimExpr(Internals.expression(a), Internals.expression(b)))
+
+  /** HOF-composed cosine (interpreted — test reference only). */
+  def cosine_sim_hof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0d), (acc, v) => acc + v)
     val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
     when(denom === 0d, 0d).otherwise(dot(a, b) / denom)
   }
+
+  /** 1-based nearest-centroid cell by dot-product argmax; `cents` must be
+    * L2-normalized rows (then dot order == cosine order). Ties → smallest
+    * cell. The centroid matrix rides into generated code as a reference
+    * object — no join, no fan-out.
+    */
+  def nearest_centroid(vec: Column, cents: Array[Array[Double]]): Column =
+    Internals.column(NearestCentroidExpr(Internals.expression(vec), cents))
 
   /** MinHash-LSH band keys over k-token shingles — native codegen'd
     * expression (the blocking hot path; see [[HashingKernels]] for why the

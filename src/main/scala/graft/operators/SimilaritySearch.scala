@@ -39,17 +39,20 @@ object SimilaritySearch {
   /** IVF cell assignment: nearest of `nCells` seed centroids (the first
     * nCells corpus vectors by id — deterministic, no trained k-means in
     * v1). Returns corpus rows + cell id.
+    *
+    * The centroid matrix is tiny (it is the index artifact — on a real
+    * cluster a trained k-means codebook), so it is collected once,
+    * L2-normalized, and carried into generated code as a reference object:
+    * assignment is a per-row argmax — zero fan-out, zero shuffle, one
+    * narrow pass over the corpus. (Round 1 exploded corpus×nCells rows
+    * through a per-id window: a full shuffle of the fan-out, fatal at
+    * 100× corpus.)
     */
   def ivfAssign(corpus: DataFrame, nCells: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = centroids(corpus, nCells, idCol, vecCol)
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-    val w = Window.partitionBy(col("nbr_id")).orderBy(col("cent_sim").desc, col("cell"))
-    c.crossJoin(broadcast(cents))
-      .withColumn("cent_sim", cosine_sim(col("cv"), col("centroid")))
-      .withColumn("r", row_number().over(w))
-      .where(col("r") === 1)
-      .select(col("nbr_id"), col("cv"), col("cell"))
+    val cents = collectNormalizedCentroids(corpus, nCells, idCol, vecCol)
+    corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .withColumn("cell", nearest_centroid(col("cv"), cents))
   }
 
   /** IVF top-k: probe the `nProbe` closest cells per query, exact cosine
@@ -85,4 +88,19 @@ object SimilaritySearch {
       .withColumn("cell", row_number().over(w))
       .select(col("cell"), col("centroid"))
   }
+
+  /** Driver-side codebook: first nCells vectors by id, L2-normalized so
+    * dot-product argmax equals cosine argmax. Cell j ↔ matrix row j-1 —
+    * the same numbering [[centroids]] produces for the probe side.
+    */
+  private def collectNormalizedCentroids(corpus: DataFrame, nCells: Int,
+                                         idCol: String, vecCol: String): Array[Array[Double]] =
+    corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map { row =>
+        val v = row.getSeq[Double](0).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
 }

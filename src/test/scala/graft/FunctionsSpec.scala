@@ -163,4 +163,21 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(out(1)) < 1e-12)
     assert(out(2) == 0.0)
   }
+
+  test("native cosine_sim matches the HOF reference implementation") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 20).map(_ =>
+      (Seq.fill(16)(rnd.nextFloat() - 0.5f), Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("a", "b")
+    val native = df.select(cosine_sim($"a", $"b")).as[Double].collect()
+    val hof = df.select(cosine_sim_hof($"a", $"b")).as[Double].collect()
+    native.zip(hof).foreach { case (n, h) => assert(math.abs(n - h) < 1e-9) }
+  }
+
+  test("nearest_centroid: argmax over normalized codebook, ties to smallest cell") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(Seq(0.9f, 0.1f), Seq(0.1f, 0.9f), Seq(0.5f, 0.5f), Seq(0.0f, 0.0f))
+      .toDF("v").select(nearest_centroid($"v", cents).as("c")).as[Int].collect()
+    assert(df.toSeq == Seq(1, 2, 1, 1)) // tie and zero vector both → cell 1
+  }
 }

@@ -59,6 +59,15 @@ class PlanAuditSpec extends SparkSpec {
       s"verify stage collapsed to ${out.rdd.getNumPartitions} partition(s)")
   }
 
+  test("IVF cell assignment is a narrow per-row argmax: no fan-out, no shuffle, no window") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val assigned = graft.operators.SimilaritySearch.ivfAssign(emb, 8)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"assignment must not fan out through a join:\n$plan")
+  }
+
   test("native minhash blocking plan: scan → project → generate, single pass") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id").cast("string").as("conv_id"),
