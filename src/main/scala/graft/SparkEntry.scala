@@ -256,8 +256,66 @@ object SparkEntry {
       Multimodal.decodeStub(media, 8).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(col("features")(0).cast("double"), 4).as("f0"))
+    }),
+
+    // ---- doc/field term-frequency index build (indexer.py:75-155,
+    //      lucene_tools.py:300-318) ----
+    "q30_doc_tf" -> ((s, d) =>
+      LanguageModel.docTermFreqs(lmFielded(t(s, d, "documents")))),
+
+    // ---- MLM doc score: JM-smoothed field mixture, Σ qtf·log p with
+    //      zero-skip + all-zero→NULL (scorer.py:65-80, 162-236) ----
+    "q31_mlm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tp = lmTermProbs(docs)
+      LanguageModel.lmDocScore(tp)
+        .select(col("qid"), col("entity"), round(col("score"), 4).as("score"))
+    }),
+
+    // ---- NLLR normalization + ×commonness combine in log space
+    //      (query_sim_feat.py:89-147, ranker_mlm.py:64-68); the isNotNull
+    //      filter is the None-score filter (set_generator.py:160-168) ----
+    "q32_nllr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tp = lmTermProbs(docs)
+      LanguageModel.nllrScore(tp)
+        .where(col("nllr").isNotNull)
+        .withColumn("cmn", (col("entity") % 100).cast("double") / 100.0)
+        .select(col("qid"), col("entity"), round(col("nllr"), 4).as("nllr"),
+          round(LanguageModel.combine_commonness(col("nllr"), col("cmn")), 4)
+            .as("nllr_cmn"))
     })
   )
+
+  // ------------------------------------------------------------------
+  // Shared LM fixtures: a two-field corpus over the documents table
+  // (contents = body tokens, names = lang+source tokens — mirroring the
+  // reference's names/contents field split, indexer.py:196-231), queries
+  // = every 17th doc's first 5 tokens, candidates = docs in the same
+  // (lang, source) cell (the dimension-key candidate cut).
+  // ------------------------------------------------------------------
+  private def lmFielded(docs: DataFrame): DataFrame =
+    LanguageModel.fieldedTokens(docs, "doc_id", Seq(
+      "contents" -> toks(col("text")),
+      "names" -> toks(concat_ws(" ", col("lang"), col("source")))))
+
+  private val MlmWeights = Map("contents" -> 0.8, "names" -> 0.2)
+
+  private def lmTermProbs(docs: DataFrame): DataFrame = {
+    val docTf = LanguageModel.docTermFreqs(lmFielded(docs))
+    val q = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+      .select(col("doc_id").as("qid"), slice(toks(col("text")), 1, 5).as("qtoks"),
+        col("lang"), col("source"))
+    val qterms = q
+      .select(col("qid"), size(col("qtoks")).as("qlen"), explode(col("qtoks")).as("term"))
+      .groupBy("qid", "qlen", "term").agg(count(lit(1)).as("qtf"))
+      .select("qid", "term", "qtf", "qlen")
+    val cands = q.select(col("qid"), col("lang"), col("source"))
+      .join(docs.select(col("doc_id").as("entity"), col("lang"), col("source")),
+        Seq("lang", "source"))
+      .select("qid", "entity")
+    LanguageModel.mlmTermProbs(cands, qterms, docTf, MlmWeights, lambda = 0.1)
+  }
 
   // ------------------------------------------------------------------
   // DuckDB oracles. Macro strings kept textually aligned with the Spark
@@ -272,6 +330,49 @@ object SparkEntry {
   // contiguous k-shingles with whole-doc fallback
   private def SHINGLES(k: Int) =
     s"CASE WHEN len(t) < $k THEN [array_to_string(t, ' ')] ELSE [array_to_string(t[i:i+${k - 1}], ' ') for i in range(1, len(t)-${k - 2})] END"
+  // tokens of the "names" field (lang + source)
+  private val NTOKS =
+    "list_filter(regexp_split_to_array(trim(regexp_replace(lower(lang || ' ' || source), " +
+      "'[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
+  // shared LM CTE block: fielded corpus → tf/len/collection tables →
+  // query terms → same-(lang,source) candidates → JM-smoothed MLM term
+  // probabilities (weights contents 0.8 / names 0.2, λ=0.1). Arithmetic
+  // shape mirrors LanguageModel.jm_prob / mlmTermProbs exactly.
+  private def LM_TP =
+    s"""fld AS (
+          SELECT doc_id AS doc, 'contents' AS field, unnest($TOKS) AS term FROM documents
+          UNION ALL
+          SELECT doc_id AS doc, 'names' AS field, unnest($NTOKS) AS term FROM documents),
+        doc_tf AS (SELECT doc, field, term, count(*) AS tf FROM fld GROUP BY 1, 2, 3),
+        doc_len AS (SELECT doc, field, sum(tf) AS len_d FROM doc_tf GROUP BY 1, 2),
+        coll_tf AS (SELECT field, term, sum(tf) AS cf FROM doc_tf GROUP BY 1, 2),
+        coll_stats AS (SELECT field, sum(tf) AS coll_len FROM doc_tf GROUP BY 1),
+        q AS (SELECT doc_id AS qid, t[1:5] AS qtoks, lang, source
+              FROM (SELECT doc_id, $TOKS AS t, lang, source FROM documents)
+              WHERE doc_id % 17 = 0),
+        qterms AS (SELECT qid, qlen, term, count(*) AS qtf
+                   FROM (SELECT qid, len(qtoks) AS qlen, unnest(qtoks) AS term FROM q)
+                   GROUP BY 1, 2, 3),
+        cands AS (SELECT q.qid, d.doc_id AS entity
+                  FROM q JOIN documents d USING (lang, source)),
+        fields(field, mu) AS (VALUES ('contents', 0.8), ('names', 0.2)),
+        grid AS (SELECT qid, entity, term, qtf, qlen, field, mu
+                 FROM cands JOIN qterms USING (qid) CROSS JOIN fields),
+        tp AS (
+          SELECT grid.qid, grid.entity, grid.term, grid.qtf, grid.qlen,
+                 sum(grid.mu * (0.9 * (CASE WHEN coalesce(len_d, 0) > 0
+                          THEN coalesce(tf, 0)::DOUBLE / len_d::DOUBLE ELSE 0 END)
+                     + 0.1 * (CASE WHEN coll_len > 0
+                          THEN coalesce(cf, 0)::DOUBLE / coll_len::DOUBLE ELSE 0 END))) AS p,
+                 sum(grid.mu * (CASE WHEN coll_len > 0
+                          THEN coalesce(cf, 0)::DOUBLE / coll_len::DOUBLE ELSE 0 END)) AS p_t_c
+          FROM grid
+          LEFT JOIN doc_tf ON doc_tf.doc = grid.entity AND doc_tf.field = grid.field
+                          AND doc_tf.term = grid.term
+          LEFT JOIN doc_len ON doc_len.doc = grid.entity AND doc_len.field = grid.field
+          LEFT JOIN coll_tf ON coll_tf.field = grid.field AND coll_tf.term = grid.term
+          JOIN coll_stats ON coll_stats.field = grid.field
+          GROUP BY 1, 2, 3, 4, 5)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_preprocess" ->
@@ -491,6 +592,31 @@ object SparkEntry {
 
     "q27_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-         FROM events"""
+         FROM events""",
+
+    "q30_doc_tf" ->
+      s"""WITH $LM_TP
+          SELECT doc, field, term, tf FROM doc_tf""",
+
+    "q31_mlm_score" ->
+      s"""WITH $LM_TP
+          SELECT qid, entity,
+                 round(CASE WHEN sum(p) = 0 THEN NULL
+                       ELSE sum(CASE WHEN p > 0 THEN qtf::DOUBLE * ln(p) ELSE 0 END)
+                       END, 4) AS score
+          FROM tp GROUP BY 1, 2""",
+
+    "q32_nllr" ->
+      s"""WITH $LM_TP,
+            s AS (SELECT qid, entity,
+                    CASE WHEN sum(p) = 0 THEN NULL
+                    ELSE exp(sum(CASE WHEN p > 0
+                         THEN (qtf::DOUBLE / qlen::DOUBLE) * (ln(p) - ln(p_t_c))
+                         ELSE 0 END)) END AS nllr
+                  FROM tp GROUP BY 1, 2)
+          SELECT qid, entity, round(nllr, 4) AS nllr,
+                 round(exp(ln(nllr) + ln(greatest((entity % 100)::DOUBLE / 100.0, 0.00001))), 4)
+                   AS nllr_cmn
+          FROM s WHERE nllr IS NOT NULL"""
   )
 }
