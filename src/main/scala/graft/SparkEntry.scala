@@ -284,6 +284,52 @@ object SparkEntry {
         .select(col("qid"), col("entity"), round(col("nllr"), 4).as("nllr"),
           round(LanguageModel.combine_commonness(col("nllr"), col("cmn")), 4)
             .as("nllr_cmn"))
+    }),
+
+    // ---- CMNS longest-match back-off (commonness.py:59-75) ----
+    "q33_cmns_backoff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val surf = docs.select(
+        explode(ngrams_up_to(toks(col("text")), 2)).as("surface"),
+        col("lang").as("entity"))
+        .groupBy("surface", "entity").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("surface")
+      val dict = surf
+        .withColumn("cmn", col("cnt").cast("double") / sum("cnt").over(w).cast("double"))
+        .where(col("cmn") >= 0.1)
+        .select(col("surface"), col("entity"), round(col("cmn"), 4).as("cmn"))
+      val qs = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      ReferenceOps.commonnessBackoff(qs, dict, 3)
+        .select(col("qid"), col("surface"), col("entity"), col("cmn"),
+          col("len").cast("long").as("len"))
+    }),
+
+    // ---- greedy interpretation-set formation (greedy.py:22-97), fed by
+    //      the CMNS back-off path — the reference's `-cmn -greedy` flow
+    //      (erd_app.py:69-112). Order-sensitive per-query fold — not
+    //      SQL-expressible, rows-only here; semantics pinned by
+    //      GreedyIsfSpec truth tables + the Y-ERD end-to-end EvalSpec test
+    "q34_greedy_isf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val surf = docs.select(
+        explode(ngrams_up_to(toks(col("text")), 2)).as("surface"),
+        col("lang").as("entity"))
+        .groupBy("surface", "entity").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("surface")
+      val dict = surf
+        .withColumn("cmn", col("cnt").cast("double") / sum("cnt").over(w).cast("double"))
+        .where(col("cmn") >= 0.1)
+        .select(col("surface"), col("entity"), col("cmn"))
+      val qs = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val cands = ReferenceOps.commonnessBackoff(qs, dict, 3)
+        .select(col("qid"), col("surface").as("mention"), col("entity"),
+          col("cmn").as("score"))
+      GreedyIsf.interpretations(cands, 0.25).toDF()
+        .groupBy("qid", "set_id")
+        .agg(round(max("score"), 4).as("score"),
+          array_join(sort_array(collect_set(col("entity"))), " ").as("entities"))
     })
   )
 
@@ -617,6 +663,24 @@ object SparkEntry {
           SELECT qid, entity, round(nllr, 4) AS nllr,
                  round(exp(ln(nllr) + ln(greatest((entity % 100)::DOUBLE / 100.0, 0.00001))), 4)
                    AS nllr_cmn
-          FROM s WHERE nllr IS NOT NULL"""
+          FROM s WHERE nllr IS NOT NULL""",
+
+    "q33_cmns_backoff" ->
+      s"""WITH surf AS (SELECT unnest(${NGRAMS(2)}) AS surface, lang AS entity
+                        FROM (SELECT $TOKS AS t, lang FROM documents)),
+            c AS (SELECT surface, entity, count(*) AS cnt FROM surf GROUP BY 1, 2),
+            dict AS (SELECT surface, entity, round(cmn, 4) AS cmn FROM (
+                       SELECT surface, entity,
+                              cnt::DOUBLE / (sum(cnt) OVER (PARTITION BY surface))::DOUBLE AS cmn
+                       FROM c) WHERE cmn >= 0.1),
+            ng AS (SELECT doc_id AS qid, unnest(${NGRAMS(3)}) AS surface
+                   FROM (SELECT doc_id, $TOKS AS t FROM documents)
+                   WHERE doc_id % 17 = 0),
+            m AS (SELECT qid, surface, entity, cmn,
+                         len(string_split(surface, ' '))::BIGINT AS len
+                  FROM ng JOIN dict USING (surface))
+          SELECT qid, surface, entity, cmn, len FROM (
+            SELECT *, max(len) OVER (PARTITION BY qid) AS ml FROM m)
+          WHERE len = ml"""
   )
 }

@@ -60,6 +60,27 @@ object ReferenceOps {
       .drop("rn")
   }
 
+  /** CMNS longest-match back-off (nordlys/erd/baselines/commonness.py:59-75):
+    * the baseline tries all n-grams of length n and recurses to n−1 only
+    * when none matched the dictionary. Distributed form: generate all
+    * lengths at once, keep each query's candidates at its LONGEST matched
+    * length — one join + one window instead of a sequential loop (the
+    * commonness threshold lives in the dictionary, applied before the
+    * length decision exactly like get_men_candidate_ens).
+    * queries(qid, qtext) × dict(surface, ...) → matched n-grams at the
+    * back-off length, with `surface` (the mention) and `len` attached.
+    */
+  def commonnessBackoff(queries: DataFrame, dict: DataFrame, maxN: Int): DataFrame = {
+    val ngrams = queries.select(col("qid"),
+      explode(ngrams_up_to(tokens(col("qtext")), maxN)).as("surface"))
+      .withColumn("len", size(split(col("surface"), " ")))
+    val w = Window.partitionBy("qid")
+    ngrams.join(broadcast(dict), "surface")
+      .withColumn("max_len", max(col("len")).over(w))
+      .where(col("len") === col("max_len"))
+      .drop("max_len")
+  }
+
   /** Per-group min-max score normalization, 0.5 when constant
     * (reference: set_generator.py:40-57 — the reference's only window
     * analog).
