@@ -330,7 +330,110 @@ object SparkEntry {
         .groupBy("qid", "set_id")
         .agg(round(max("score"), 4).as("score"),
           array_join(sort_array(collect_set(col("entity"))), " ").as("entities"))
-    })
+    }),
+
+    // ---- mention count features (mention_feat.py:26-68) ----
+    "q35_mention_features" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dict = docs.select(explode(array_distinct(toks(col("text")))).as("surface"),
+        col("lang").as("entity")).distinct()
+      val titles = docs
+        .select(col("lang").as("entity"), explode(array_distinct(toks(col("text")))).as("tok"))
+        .groupBy("entity").agg(min("tok").as("title"))
+      val mentions = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"),
+          explode(ngrams_up_to(toks(col("text")), 2)).as("mention"))
+        .dropDuplicates("qid", "mention")
+      Features.mentionFeatures(mentions, dict, titles)
+        .select(col("qid"), col("mention"), col("mention_len").cast("long").as("mention_len"),
+          col("matches"), col("ntem"), col("smil"), round(col("len_ratio"), 4).as("len_ratio"))
+    }),
+
+    // ---- boolean/positional entity-mention features
+    //      (entity_mention_feat.py:27-63) ----
+    "q36_entity_mention_bool" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val titles = docs
+        .select(col("lang"), explode(array_distinct(toks(col("text")))).as("tok"))
+        .groupBy("lang").agg(min("tok").as("title"))
+      val qd = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").as("qid"), col("lang"), norm_text(col("text")).as("abs"),
+          explode(array_distinct(toks(col("text")))).as("mention"))
+      Features.entityMentionFeatures(qd.join(broadcast(titles), "lang"),
+        col("mention"), col("title"), col("abs"))
+        .select(col("qid"), col("mention"), col("mct"), col("tcm"), col("tem"),
+          col("pos1").cast("long").as("pos1"))
+    }),
+
+    // ---- FACC co-occurrence features (facc_feat.py:44-113) over the
+    //      token co-occurrence "index" (facc_indexer.py analog) ----
+    "q37_facc_features" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val facc = Features.faccIndex(
+        docs.select(col("doc_id"), explode(toks(col("text"))).as("entity")))
+      val numDocs = docs.count()
+      val vocab = facc.select("entity").distinct()
+      val pairs = vocab.select(col("entity").as("e1"))
+        .crossJoin(vocab.select(col("entity").as("e2")))
+        .where(col("e1") < col("e2"))
+      Features.faccPairFeatures(pairs, facc, numDocs)
+        .select(col("e1"), col("e2"), col("and_freq"), col("or_freq"),
+          round(col("joint_prob"), 4).as("joint_prob"),
+          round(col("entropy"), 4).as("entropy"),
+          round(col("jc"), 4).as("jc"),
+          round(col("mw_rel"), 4).as("mw_rel"))
+    }),
+
+    // ---- wikilink graph set features (graph_feat.py:27-117); links are a
+    //      deterministic ring so the formulas are oracle-checkable ----
+    "q38_graph_features" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val members = docs.select(col("lang").as("cluster_id"), col("source").as("entity"))
+        .distinct()
+        .withColumn("sid", substring(col("entity"), 4, 10).cast("int"))
+        .withColumn("links", array(
+          concat(lit("src"), pmod(col("sid") + 1, lit(20))),
+          concat(lit("src"), pmod(col("sid") + 2, lit(20)))))
+        .drop("sid")
+      Features.graphSetFeatures(members)
+        .select(col("cluster_id"), col("n"), col("n_edges"), col("common_neighbors"),
+          col("all_neighbors"), round(col("completeness"), 4).as("completeness"),
+          round(col("jc"), 4).as("jc"))
+    }),
+
+    // ---- largest-delta prune (isf/pruner.py:11-42) ----
+    "q39_delta_prune" -> ((s, d) =>
+      Features.pruneLargestDelta(
+        t(s, d, "orders").select(col("o_custkey").as("qid"),
+          col("o_totalprice").as("score")).distinct(),
+        "qid", "score")),
+
+    // ---- id/URI scalar functions (freebase/utils.py:10-28,
+    //      indexer.py:27-35) ----
+    "q40_id_functions" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val fbid = concat(lit("/m/"), lower(col("n_name")))
+      val uri = concat(lit("<dbpedia:"),
+        regexp_replace(col("n_name"), "_", "%20"), lit(">"))
+      n.select(col("n_nationkey"),
+        fb_id_to_uri(fbid).as("fb_uri"),
+        fb_uri_to_id(fb_id_to_uri(fbid)).as("fb_id"),
+        uri_to_name(uri).as("name"),
+        percent_decode(lit("a%2Fb%20c")).as("dec"))
+    }),
+
+    // ---- instance concat with stable id reassign (instances.py:268-283) ----
+    "q41_instance_concat" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Features.concatInstances(Seq(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0).select("doc_id"),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1).select("doc_id")),
+        Seq("doc_id"))
+    }),
+
+    // ---- train-set stats (train_set_cer.py:166-220) ----
+    "q42_train_stats" -> ((s, d) =>
+      Features.trainSetStats(t(s, d, "documents"), "lang", "source"))
   )
 
   // ------------------------------------------------------------------
@@ -681,6 +784,144 @@ object SparkEntry {
                   FROM ng JOIN dict USING (surface))
           SELECT qid, surface, entity, cmn, len FROM (
             SELECT *, max(len) OVER (PARTITION BY qid) AS ml FROM m)
-          WHERE len = ml"""
+          WHERE len = ml""",
+
+    "q35_mention_features" ->
+      s"""WITH dt AS (SELECT doc_id, $TOKS AS t, lang FROM documents),
+            dict AS (SELECT DISTINCT unnest(list_distinct(t)) AS surface, lang AS entity FROM dt),
+            titles AS (SELECT lang AS entity, min(tok) AS title FROM
+                        (SELECT lang, unnest(list_distinct(t)) AS tok FROM dt) GROUP BY lang),
+            qd AS (SELECT doc_id AS qid, t FROM dt WHERE doc_id % 17 = 0),
+            men AS (SELECT DISTINCT qid, unnest(${NGRAMS(2)}) AS mention, len(t) AS qlen FROM qd),
+            mt AS (SELECT qid, mention, count(*) AS matches
+                   FROM men JOIN dict ON mention = surface GROUP BY 1, 2),
+            nt AS (SELECT qid, mention, count(*) AS ntem
+                   FROM men JOIN titles ON mention = title GROUP BY 1, 2),
+            sm AS (SELECT qid, mention, count(*) AS smil FROM
+                    (SELECT qid, mention,
+                            unnest(flatten([[array_to_string(mt[i:i+n-1], ' ')
+                              for i in range(1, len(mt)-n+2)]
+                              for n in range(1, least(8, len(mt))+1)])) AS ng
+                     FROM (SELECT qid, mention, string_split(mention, ' ') AS mt FROM men))
+                   JOIN titles ON ng = title GROUP BY 1, 2)
+          SELECT men.qid, men.mention,
+                 len(string_split(men.mention, ' '))::BIGINT AS mention_len,
+                 coalesce(matches, 0) AS matches, coalesce(ntem, 0) AS ntem,
+                 coalesce(smil, 0) AS smil,
+                 round(len(string_split(men.mention, ' '))::DOUBLE / men.qlen::DOUBLE, 4)
+                   AS len_ratio
+          FROM men LEFT JOIN mt USING (qid, mention)
+                   LEFT JOIN nt USING (qid, mention)
+                   LEFT JOIN sm USING (qid, mention)""",
+
+    "q36_entity_mention_bool" ->
+      s"""WITH dt AS (SELECT doc_id, $TOKS AS t, lang, $NORM AS ntext FROM documents),
+            titles AS (SELECT lang, min(tok) AS title FROM
+                        (SELECT lang, unnest(list_distinct(t)) AS tok FROM dt) GROUP BY lang),
+            qd AS (SELECT doc_id AS qid, lang, ntext AS abs_,
+                          unnest(list_distinct(t)) AS mention
+                   FROM dt WHERE doc_id % 17 = 0)
+          SELECT qid, mention,
+                 CASE WHEN title <> '' AND contains(mention, title) THEN 1 ELSE 0 END AS mct,
+                 CASE WHEN contains(title, mention) THEN 1 ELSE 0 END AS tcm,
+                 CASE WHEN mention = title THEN 1 ELSE 0 END AS tem,
+                 (CASE WHEN strpos(abs_, mention) > 0 THEN strpos(abs_, mention) - 1
+                       ELSE 1000 END)::BIGINT AS pos1
+          FROM qd JOIN titles USING (lang)""",
+
+    "q37_facc_features" ->
+      s"""WITH facc AS (SELECT DISTINCT doc_id, unnest(list_distinct($TOKS)) AS entity
+                        FROM documents),
+            nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+            ef AS (SELECT entity, count(DISTINCT doc_id) AS freq FROM facc GROUP BY 1),
+            pairs AS (SELECT a.entity AS e1, b.entity AS e2
+                      FROM ef a, ef b WHERE a.entity < b.entity),
+            andf AS (SELECT x.entity AS e1, y.entity AS e2, count(*) AS and_freq
+                     FROM facc x JOIN facc y USING (doc_id)
+                     WHERE x.entity < y.entity GROUP BY 1, 2),
+            j AS (SELECT p.e1, p.e2, f1.freq AS f1, f2.freq AS f2,
+                         coalesce(and_freq, 0) AS and_freq, nd.n AS n,
+                         coalesce(and_freq, 0)::DOUBLE / nd.n AS p
+                  FROM pairs p JOIN ef f1 ON p.e1 = f1.entity
+                               JOIN ef f2 ON p.e2 = f2.entity
+                               LEFT JOIN andf ON p.e1 = andf.e1 AND p.e2 = andf.e2
+                               CROSS JOIN nd)
+          SELECT e1, e2, and_freq, (f1 + f2 - and_freq) AS or_freq,
+                 round(p, 4) AS joint_prob,
+                 round(CASE WHEN p <= 0 OR p >= 1 THEN 0
+                       ELSE -(p * ln(p)) - (1.0 - p) * ln(1.0 - p) END, 4) AS entropy,
+                 round(CASE WHEN and_freq = 0 THEN 0
+                       ELSE and_freq::DOUBLE / (f1 + f2 - and_freq) END, 4) AS jc,
+                 round(CASE WHEN least(f1, f2) = 0 OR and_freq = 0 THEN 0
+                       WHEN ln(n::DOUBLE) - ln(least(f1, f2)::DOUBLE) = 0 THEN
+                         (CASE WHEN ln(greatest(f1, f2)::DOUBLE) - ln(and_freq::DOUBLE) = 0
+                               THEN 1 ELSE 0 END)
+                       ELSE greatest(1.0 - (ln(greatest(f1, f2)::DOUBLE) - ln(and_freq::DOUBLE))
+                              / (ln(n::DOUBLE) - ln(least(f1, f2)::DOUBLE)), 0) END, 4) AS mw_rel
+          FROM j""",
+
+    "q38_graph_features" ->
+      """WITH mem AS (SELECT DISTINCT lang AS cluster_id, source AS entity FROM documents),
+            m AS (SELECT cluster_id, entity,
+                    ['src' || ((substr(entity, 4)::INT + 1) % 20),
+                     'src' || ((substr(entity, 4)::INT + 2) % 20)] AS links FROM mem),
+            n AS (SELECT cluster_id, count(*) AS n FROM m GROUP BY 1),
+            e AS (SELECT x.cluster_id, count(*) AS n_edges
+                  FROM m x JOIN m y ON x.cluster_id = y.cluster_id AND x.entity < y.entity
+                  WHERE list_contains(x.links, y.entity) OR list_contains(y.links, x.entity)
+                  GROUP BY 1),
+            nbr AS (SELECT cluster_id, entity, unnest(list_distinct(links)) AS nb FROM m),
+            cmn AS (SELECT q.cluster_id, count(*) AS common_neighbors FROM
+                     (SELECT cluster_id, nb, count(*) AS c FROM nbr GROUP BY 1, 2) q
+                     JOIN n USING (cluster_id) WHERE c = n GROUP BY 1),
+            al AS (SELECT cluster_id, count(DISTINCT nb) AS all_neighbors FROM nbr GROUP BY 1)
+          SELECT n.cluster_id, n.n, coalesce(n_edges, 0) AS n_edges,
+                 (CASE WHEN n.n = 1 THEN -1 ELSE coalesce(common_neighbors, 0) END)::BIGINT
+                   AS common_neighbors,
+                 coalesce(all_neighbors, 0) AS all_neighbors,
+                 round(CASE WHEN n.n = 1 THEN 1
+                       ELSE coalesce(n_edges, 0)::DOUBLE / (n.n * (n.n - 1) / 2) END, 4)
+                   AS completeness,
+                 round(CASE WHEN n.n = 1 THEN -1
+                       WHEN coalesce(all_neighbors, 0) = 0 THEN 0
+                       ELSE coalesce(common_neighbors, 0)::DOUBLE / all_neighbors END, 4) AS jc
+          FROM n LEFT JOIN e USING (cluster_id)
+                 LEFT JOIN cmn USING (cluster_id)
+                 LEFT JOIN al USING (cluster_id)""",
+
+    "q39_delta_prune" ->
+      """WITH d AS (SELECT DISTINCT o_custkey AS qid, o_totalprice AS score FROM orders),
+            x AS (SELECT qid, score,
+                    row_number() OVER w AS rn,
+                    count(*) OVER (PARTITION BY qid) AS n,
+                    score - lead(score) OVER w AS dd
+                  FROM d WINDOW w AS (PARTITION BY qid ORDER BY score DESC)),
+            y AS (SELECT *, max(dd) OVER (PARTITION BY qid ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxprev FROM x),
+            z AS (SELECT *, CASE WHEN rn = 1 OR rn = n THEN 1
+                                 WHEN dd >= maxprev THEN 1 ELSE 0 END AS ok FROM y),
+            k AS (SELECT *, min(ok) OVER (PARTITION BY qid ORDER BY score DESC
+                    ROWS UNBOUNDED PRECEDING) AS kept FROM z)
+          SELECT qid, score FROM k WHERE n <= 2 OR kept = 1""",
+
+    "q40_id_functions" ->
+      """SELECT n_nationkey,
+                '<fb:m.' || lower(n_name) || '>' AS fb_uri,
+                '/m/' || lower(n_name) AS fb_id,
+                replace(n_name, '_', ' ') AS name,
+                'a/b c' AS dec
+         FROM nation""",
+
+    "q41_instance_concat" ->
+      """SELECT doc_id,
+                (row_number() OVER (ORDER BY doc_id % 2, doc_id) - 1)::BIGINT AS ins_id
+         FROM documents""",
+
+    "q42_train_stats" ->
+      """SELECT count(*)::BIGINT AS n_pos,
+                count(DISTINCT lang)::BIGINT AS n_queries,
+                (SELECT count(*) FROM (SELECT lang FROM documents GROUP BY lang
+                  HAVING count(DISTINCT source) > 1))::BIGINT AS n_multi_interp
+         FROM documents"""
   )
 }

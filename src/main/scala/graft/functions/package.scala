@@ -175,4 +175,37 @@ package object functions {
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Freebase id → prefixed URI: '/m/02_286' → '<fb:m.02_286>'; null for
+    * invalid ids (the reference raises — nordlys/entity/freebase/utils.py:10-19).
+    */
+  def fb_id_to_uri(c: Column): Column =
+    when(c.startsWith("/m/"),
+      concat(lit("<fb:m."), substring(c, 4, Int.MaxValue), lit(">")))
+
+  /** Prefixed Freebase URI → id: '<fb:m.02_286>' → '/m/02_286' (utils.py:21-28). */
+  def fb_uri_to_id(c: Column): Column =
+    when(c.startsWith("<fb:m.") && c.endsWith(">"),
+      concat(lit("/m/"), regexp_extract(c, "^<fb:m\\.(.*)>$", 1)))
+
+  /** URI → display name (indexer.py:27-35): percent-decode, take the part
+    * between the LAST ':' and '>', underscores → spaces; non-URIs pass
+    * through unchanged.
+    */
+  def uri_to_name(c: Column): Column = {
+    val dec = url_decode(c)
+    when(dec.startsWith("<") && dec.endsWith(">"),
+      translate(regexp_extract(dec, ":([^:]*)>$", 1), "_", " "))
+      .otherwise(dec)
+  }
+
+  /** Percent-decode (indexer.py:29 unquote). */
+  def percent_decode(c: Column): Column = url_decode(c)
+
+  /** Word-overlap predicate over two mention strings — column form of
+    * segmentation.py:91-110 (a shared word ⇒ overlapping; within-mention
+    * duplicates don't count).
+    */
+  def word_overlap(a: Column, b: Column): Column =
+    arrays_overlap(split(a, " "), split(b, " "))
 }

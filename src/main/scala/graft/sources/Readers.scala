@@ -37,6 +37,20 @@ object Readers {
         StructField("qid", StringType), StructField("query", StringType))))
       .csv(path)
 
+  /** ERD challenge annotation file: 5 cols (qid, set_id, freebase_id,
+    * mention, label), no header (reference:
+    * nordlys/erd/groundtruth/erd_gt.py:15-57, fixture
+    * data/Trec_beta.annotation.txt). Mention/query preprocessing is the
+    * caller's concern (erd_gt applies Query.preprocess — our norm_text).
+    */
+  def readErdAnnotations(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t")
+      .schema(StructType(Seq(
+        StructField("qid", StringType), StructField("set_id", StringType),
+        StructField("freebase_id", StringType), StructField("mention", StringType),
+        StructField("label", StringType))))
+      .csv(path)
+
   /** TREC run sink: `qid Q0 entity rank score run_id`, rank-ordered
     * (reference: nordlys/erd/ml/cer_instances.py:118-131, 223-253).
     * Deterministic ordering via (qid, rank, entity).
