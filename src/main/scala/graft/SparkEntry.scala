@@ -190,26 +190,33 @@ object SparkEntry {
         .withColumn("rnk", col("rnk").cast("long"))
     }),
 
-    // ---- ANN IVF top-k (scale path; hash-free but row_number-heavy — rows-only) ----
+    // ---- ANN IVF top-k (scale path; hash-free and deterministic — full
+    //      DuckDB replica oracle) ----
     "q20_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       SimilaritySearch.ivfTopK(emb.where(col("vec_id") < 20), emb, 5, 16, 4)
         .withColumn("rnk", col("rnk").cast("long"))
     }),
 
-    // ---- MinHash-LSH near-dup (hash-based — rows-only) ----
+    // ---- MinHash-LSH near-dup. rows-only: the candidate set depends on
+    //      xxhash64 banding, which DuckDB cannot reproduce; exactness of
+    //      the verify stage is pinned by OperatorsSpec's brute-force
+    //      containment test ----
     "q21_minhash_pairs" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text", 3, 64, 16, 0.5, 64)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))),
 
-    // ---- SimHash near-dup (hash-based — rows-only) ----
-    // maxHamming=3 → 4 chunk keys; banding recall is guaranteed at this
-    // threshold (round 1 asked for 12 with 4 fixed chunks, silently
-    // missing distance-4..12 pairs)
+    // ---- SimHash near-dup. maxHamming=3 → 4 chunk keys; banding recall
+    //      is guaranteed at this threshold (round 1 asked for 12 with 4
+    //      fixed chunks, silently missing distance-4..12 pairs).
+    //      rows-only: simhash64 is xxhash64-based, not reproducible in
+    //      DuckDB; OperatorsSpec proves emitted == exact hamming pairs ----
     "q22_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3, 64)),
 
-    // ---- embedding cosine near-dup (hash-based LSH — rows-only) ----
+    // ---- embedding cosine near-dup. rows-only: sign-bucket keys are
+    //      xxhash64-derived; OperatorsSpec pins emitted ⊆ exact cosine
+    //      pairs with value equality ----
     "q23_emb_neardup" -> ((s, d) =>
       // the synthetic embeddings are near-orthogonal (max pairwise cosine
       // ≈ 0.48), so the "near-dup" band is calibrated to the top tail
@@ -242,7 +249,8 @@ object SparkEntry {
       t(s, d, "events").select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
-    // ---- full ER pipeline on synthetic transcripts (north rule; rows-only) ----
+    // ---- full ER pipeline on synthetic transcripts (north rule);
+    //      deterministic self-generated input → constant golden oracle ----
     "q28_pipeline_clusters" -> ((s, d) => {
       val tr = TranscriptGen.transcripts(s, nBase = 50, dupsPerBase = 2)
       Pipeline.run(tr).clusters
@@ -250,7 +258,8 @@ object SparkEntry {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     }),
 
-    // ---- multimodal decode boundary + frame sampling (rows-only) ----
+    // ---- multimodal decode boundary + frame sampling; the stub codec's
+    //      rolling hash is engine-reproducible → value-exact oracle ----
     "q29_media_decode" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(t(s, d, "documents"))
       Multimodal.decodeStub(media, 8).toDF()
@@ -922,6 +931,58 @@ object SparkEntry {
                 count(DISTINCT lang)::BIGINT AS n_queries,
                 (SELECT count(*) FROM (SELECT lang FROM documents GROUP BY lang
                   HAVING count(DISTINCT source) > 1))::BIGINT AS n_multi_interp
+         FROM documents""",
+
+    // q20: full IVF replica — deterministic seed centroids, dot-argmax
+    // assignment against L2-normalized centroids, nProbe=4 probes,
+    // exact cosine within probed cells
+    "q20_ann_ivf" ->
+      """WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+                              embedding::DOUBLE[] AS cv
+                       FROM (SELECT vec_id, embedding FROM embeddings
+                             ORDER BY vec_id LIMIT 16)),
+            centn AS (SELECT cell,
+                        list_transform(cv, x -> x / sqrt(list_inner_product(cv, cv))) AS cvn
+                      FROM cent),
+            assign AS (SELECT nbr_id, cv2 AS cv, cell FROM (
+                SELECT e.vec_id AS nbr_id, e.embedding AS cv2, cn.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_inner_product(e.embedding::DOUBLE[], cn.cvn) DESC,
+                                  cn.cell) AS r
+                FROM embeddings e CROSS JOIN centn cn) WHERE r = 1),
+            q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                  WHERE vec_id < 20),
+            probes AS (SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, c.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cv) DESC,
+                                  c.cell) AS r
+                FROM q CROSS JOIN cent c) WHERE r <= 4),
+            s AS (SELECT query_id, nbr_id,
+                    round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cosine
+                  FROM probes JOIN assign USING (cell) WHERE query_id <> nbr_id)
+          SELECT query_id, nbr_id, cosine, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, nbr_id) AS rnk FROM s)
+          WHERE rnk <= 5""",
+
+    // q28: the pipeline input is self-generated (TranscriptGen nBase=50,
+    // dupsPerBase=2 — independent of the sf dir) and fully deterministic;
+    // a correct pipeline resolves exactly the 50 planted triples, so the
+    // histogram is a constant golden
+    "q28_pipeline_clusters" ->
+      "SELECT 3::BIGINT AS cluster_size, 50::BIGINT AS n_clusters",
+
+    // q29: the decode stub's rolling hash is recomputed byte-for-byte
+    // (documents are ASCII, so ascii(char) == unsigned payload byte)
+    "q29_media_decode" ->
+      """SELECT doc_id AS media_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+                octet_length(encode(text))::BIGINT AS n_bytes,
+                round(((list_reduce(list_prepend(7::BIGINT,
+                    [ascii(text[i:i])::BIGINT for i in range(1, len(text)+1)]),
+                    (a, b) -> (a * 31 + b) % 1000000007) % 2000) - 1000) / 1000.0, 4) AS f0
          FROM documents"""
   )
 }

@@ -55,15 +55,17 @@ object Multimodal {
       }
   }
 
-  /** STUB feature: stable fold of the payload — stands in for the decoder
-    * output so downstream plumbing (ANN over decoded features, dedup on
-    * them) is exercised deterministically.
+  /** STUB feature: stable rolling-hash fold of the payload (mod 1e9+7, so
+    * the arithmetic never wraps and the value is reproducible in any
+    * engine — the DuckDB oracle recomputes it exactly). Stands in for the
+    * decoder output so downstream plumbing (ANN over decoded features,
+    * dedup on them) is exercised deterministically.
     */
   private def fakeFeature(bytes: Array[Byte], j: Int): Float = {
-    var h = 1125899906842597L + j * 2654435761L
+    var h = 7L
     var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    ((h % 2000L + 2000L) % 2000L - 1000L) / 1000.0f
+    while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xFF)) % 1000000007L; i += 1 }
+    (((h + j * 2654435761L) % 2000L) - 1000L) / 1000.0f
   }
 
   /** Frame-sampling fan-out for video rows: one output row per sampled

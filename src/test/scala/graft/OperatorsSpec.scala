@@ -80,6 +80,50 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hash-based near-dup outputs vs exact brute force (q21/q22/q23 rows-only evidence)") {
+    val sf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // exact shingle-jaccard pairs over all pairs (tiny sf)
+    val sh = sf.select($"doc_id", shingle_hashes(tokens($"text"), 3).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def jac(a: Seq[Long], b: Seq[Long]): Double = {
+      val u = (a.toSet ++ b.toSet).size
+      if (u == 0) 0.0 else (a.toSet & b.toSet).size.toDouble / u
+    }
+    val ids = sh.keys.toSeq.sorted
+    val exactJ = (for { i <- ids; j <- ids if i < j; v = jac(sh(i), sh(j)) if v >= 0.5 }
+      yield (i, j) -> v).toMap
+    val mh = Dedup.minhashLshPairs(sf, "doc_id", "text", 3, 64, 16, 0.5, 64)
+      .as[(Long, Long, Double)].collect()
+    mh.foreach { case (a, b, v) =>
+      assert(exactJ.contains((a, b)), s"($a,$b) emitted but not exact")
+      assert(math.abs(exactJ((a, b)) - v) < 1e-12)
+    }
+    // simhash with guaranteed-recall banding and a huge cap: emitted ==
+    // exact hamming pairs
+    val sim = sf.select($"doc_id", simhash64(tokens($"text")).as("s"))
+      .as[(Long, Long)].collect()
+    val exactH = (for { (i, si) <- sim; (j, sj) <- sim if i < j
+      if java.lang.Long.bitCount(si ^ sj) <= 3 } yield (i, j)).toSet
+    val sh22 = Dedup.simhashPairs(sf, "doc_id", "text", 3, 100000)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(sh22 == exactH)
+    // embedding cosine: emitted ⊆ exact pairs, values equal
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na * nb == 0) 0.0 else dot / (na * nb)
+    }
+    val ec = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 6, 0.25, 256)
+      .as[(String, String, Double)].collect()
+    ec.foreach { case (a, b, v) =>
+      val exact = cos(vecs(a.toLong), vecs(b.toLong))
+      assert(exact >= 0.25 && math.abs(exact - v) < 1e-9, s"($a,$b) $v vs $exact")
+    }
+  }
+
   test("SimilaritySearch.bruteForceTopK: self excluded, k respected, exact order") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
