@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster masters (Bench's executor-granularity scaling block) need
+// SPARK_HOME in the forked JVM to launch executor processes
+run / envVars += ("SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

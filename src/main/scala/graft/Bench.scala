@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.pipeline.{Pipeline, TranscriptGen}
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
@@ -22,20 +21,89 @@ object Bench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // blocking collect_set states are cap-bounded → hash agg, not the
+      // default 128-entry sort-based fallback
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
 
-  /** One full pipeline run; returns (turns, seconds). */
-  private def pipelineRun(spark: SparkSession, nBase: Long): (Long, Double) = {
-    val t = TranscriptGen.transcripts(spark, nBase, dupsPerBase = 2)
-    val t0 = System.nanoTime()
-    val turns = t.count()
-    val clusters = Pipeline.run(t).clusters
-    clusters.write.mode("overwrite").format("noop").save()
-    (turns, (System.nanoTime() - t0) / 1e9)
+  /** One full pipeline run over parquet-staged input (resilient to
+    * executor loss, unlike localCheckpoint blocks); returns (turns, sec).
+    */
+  private def pipelineRun(spark: SparkSession, nBase: Long): (Long, Double) =
+    BenchPipeline.timedRun(spark, BenchPipeline.stageInput(spark, nBase))
+
+  /** Zip the compiled classes into a jar so local-cluster executor JVMs
+    * (separate processes) can load graft classes via spark.jars.
+    */
+  private def classesJar(): String = {
+    val src = new java.io.File(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+    if (src.isFile) return src.getAbsolutePath // already a jar (spark-submit)
+    val out = java.io.File.createTempFile("graft-classes", ".jar")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(out))
+    def add(f: java.io.File, base: String): Unit =
+      if (f.isDirectory) f.listFiles.foreach(c => add(c, s"$base${c.getName}" +
+        (if (c.isDirectory) "/" else "")))
+      else {
+        zos.putNextEntry(new java.util.zip.ZipEntry(base))
+        java.nio.file.Files.copy(f.toPath, zos)
+        zos.closeEntry()
+      }
+    src.listFiles.foreach(c => add(c, c.getName + (if (c.isDirectory) "/" else "")))
+    zos.close()
+    out.getAbsolutePath
+  }
+
+  /** The north-rule scaling evidence at real executor granularity:
+    * the same pipeline under local-cluster[N,c,*] vs local-cluster[4N,c,*]
+    * — separate executor JVMs with private heaps and a cross-process
+    * shuffle, the sandbox's closest proxy for N vs 4N cluster executors.
+    * Returns a JSON fragment, or null-bearing JSON if the environment
+    * cannot launch executor processes.
+    */
+  private def clusterScaling(nBase: Long): String = {
+    val exLo = 1
+    val exHi = 4
+    val coresPer = 4
+    try {
+      val jar = classesJar()
+      def measure(executors: Int): (Long, Double) = {
+        val s = SparkSession.builder()
+          .master(s"local-cluster[$executors,$coresPer,8192]")
+          .appName(s"graft-bench-cluster-$executors")
+          .config("spark.executor.memory", "8g")
+          .config("spark.jars", jar)
+          .config("spark.sql.shuffle.partitions", "32")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("ERROR")
+        try {
+          pipelineRun(s, math.max(nBase / 10, 100)) // warmup: JIT + codegen
+          val input = BenchPipeline.stageInput(s, nBase)
+          Seq(BenchPipeline.timedRun(s, input),
+            BenchPipeline.timedRun(s, input)).minBy(_._2)
+        } finally s.stop()
+      }
+      val (turnsLo, tLo) = measure(exLo)
+      val (_, tHi) = measure(exHi)
+      val thrLo = turnsLo / tLo
+      val thrHi = turnsLo / tHi
+      val eff = (thrHi / thrLo) / (exHi.toDouble / exLo)
+      f"""{"turns":$turnsLo,"executors_lo":$exLo,"executors_hi":$exHi,""" +
+        f""""cores_per_executor":$coresPer,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,""" +
+        f""""turns_per_sec_lo":$thrLo%.1f,"turns_per_sec_hi":$thrHi%.1f,""" +
+        f""""scaling_efficiency":$eff%.3f}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] local-cluster scaling unavailable: $e")
+        """{"error":"local-cluster unavailable"}"""
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -70,7 +138,8 @@ object Bench {
     def measure(cores: Int): (Long, Double) = {
       val s = session(cores)
       pipelineRun(s, math.min(scaleBase, 500L)) // warmup (JIT, codegen cache)
-      val runs = Seq(pipelineRun(s, scaleBase), pipelineRun(s, scaleBase))
+      val input = BenchPipeline.stageInput(s, scaleBase)
+      val runs = Seq(BenchPipeline.timedRun(s, input), BenchPipeline.timedRun(s, input))
       s.stop()
       runs.minBy(_._2)
     }
@@ -80,6 +149,11 @@ object Bench {
     val thrLo = turnsLo / tLo
     val thrHi = turnsHi / tHi
     val eff = (thrHi / thrLo) / (cpus.toDouble / loCores)
+
+    // executor-granularity scaling (separate JVMs — the honest N vs 4N
+    // proxy; the in-JVM thread comparison above is kept for continuity)
+    val clusterBase = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_NBASE", "40000").toLong
+    val cluster = clusterScaling(clusterBase)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -91,6 +165,6 @@ object Bench {
         f""""turns_per_sec_lo":$thrLo%.1f,"turns_per_sec_hi":$thrHi%.1f,""" +
         f""""scaling_efficiency":$eff%.3f}"""
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","pipeline":$pipeline}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","pipeline":$pipeline,"pipeline_cluster":$cluster}""")
   }
 }

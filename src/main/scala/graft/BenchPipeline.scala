@@ -1,23 +1,61 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.pipeline.{Pipeline, TranscriptGen}
 
-/** Quick pipeline timing probe: runMain graft.BenchPipeline [nBase] [cores] */
+/** Pipeline timing probe under any master (spark-submit with
+  * GRAFT_MASTER=local-cluster[n,c,m] is the multi-executor drive).
+  * Usage: runMain graft.BenchPipeline [nBase] [cores] [reps]
+  * Runs one warmup (nBase/10, JIT + codegen + shuffle service) then
+  * `reps` measured runs; reports each and the minimum (the sandbox shows
+  * heavy external timing interference — min filters it).
+  *
+  * The generated input is staged to a temp parquet and the timed run reads
+  * from it: production-shaped (the pipeline starts from a columnar scan),
+  * and resilient — a lost executor recomputes from the file, unlike a
+  * localCheckpoint block which dies with its executor.
+  */
 object BenchPipeline {
+
+  /** Stage deterministic transcripts to parquet; returns the reader. */
+  private[graft] def stageInput(spark: SparkSession, n: Long): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-bench-input-$n"
+    TranscriptGen.transcripts(spark, n, dupsPerBase = 2)
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  /** One timed end-to-end run over staged input: scan → pipeline → noop. */
+  private[graft] def timedRun(spark: SparkSession, input: DataFrame): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val turns = input.count()
+    Pipeline.run(input).clusters.write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()
+    (turns, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val nBase = if (args.length > 0) args(0).toLong else 2000L
     val cores = if (args.length > 1) args(1).toInt else 32
+    val reps = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder().master(sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp"))
+      // collect_set states are tiny (block members capped at maxBlockSize),
+      // so keep the blocking aggregation hash-based instead of the default
+      // 128-entry sort fallback
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val t = TranscriptGen.transcripts(spark, nBase, 2).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val turns = t.count() // materialize input; bench measures the pipeline
-    val t0 = System.nanoTime()
-    Pipeline.run(t).clusters.write.mode("overwrite").format("noop").save()
-    val sec = (System.nanoTime() - t0) / 1e9
+
+    timedRun(spark, stageInput(spark, math.max(nBase / 10, 100))) // warmup
+    val input = stageInput(spark, nBase)
+    val runs = (1 to reps).map { i =>
+      val (turns, sec) = timedRun(spark, input)
+      println(f"PIPELINE_RUN $i turns=$turns sec=$sec%.2f turns_per_sec=${turns / sec}%.1f")
+      (turns, sec)
+    }
+    val (turns, sec) = runs.minBy(_._2)
     println(f"PIPELINE turns=$turns sec=$sec%.2f turns_per_sec=${turns / sec}%.1f cores=$cores")
     spark.stop()
   }

@@ -89,6 +89,133 @@ object SimilarityKernels {
   def jaroWinkler(a: UTF8String, b: UTF8String): Double =
     jaroWinkler(a.toString, b.toString)
 
+  /** Banded Levenshtein distance over code points, -1 when > maxDist.
+    *
+    * Replaces the built-in `levenshtein(l, r, threshold)` in the scoring
+    * hot path: the built-in decodes UTF8 bytes per cell access, measured
+    * 135 s for 733k pairs of 256-char prefixes at local[4]; this kernel
+    * decodes each string once into code-point arrays and runs the
+    * O((2·maxDist+1)·len) band on ints. Same contract as the built-in
+    * (distance, or -1 beyond the threshold), code-point units matching
+    * DuckDB's levenshtein.
+    */
+  def levenshteinBanded(s1: UTF8String, s2: UTF8String, maxDist: Int): Int = {
+    val a = s1.toString.codePoints().toArray
+    val b = s2.toString.codePoints().toArray
+    if (maxDist < 0 || math.abs(a.length - b.length) > maxDist) return -1
+    val d = levenshteinMyersCp(a, b)
+    if (d <= maxDist) d else -1
+  }
+
+  /** Myers/Hyyrö bit-parallel Levenshtein distance over code points —
+    * O(⌈m/64⌉·n) word ops, independent of any threshold. Pattern = the
+    * shorter string; per-block horizontal deltas chained via the hin/hout
+    * carries (Hyyrö 2003's blocked formulation, the same scheme edlib
+    * uses). Padding bits above row m evolve freely but only propagate
+    * upward (left shifts / add carries), never into the live bits that
+    * the row-m delta is read from.
+    */
+  private[graft] def levenshteinMyersCp(aIn: Array[Int], bIn: Array[Int]): Int = {
+    var a = aIn
+    var b = bIn
+    if (a.length > b.length) { val t = a; a = b; b = t }
+    val m = a.length
+    val n = b.length
+    if (m == 0) return n
+    val nb = (m + 63) >> 6
+    // pattern alphabet: sorted unique code points -> per-block Eq masks
+    val sorted = java.util.Arrays.copyOf(a, m)
+    java.util.Arrays.sort(sorted)
+    var u = 0
+    var i = 0
+    while (i < m) {
+      if (u == 0 || sorted(i) != sorted(u - 1)) { sorted(u) = sorted(i); u += 1 }
+      i += 1
+    }
+    val peq = new Array[Long](u * nb)
+    i = 0
+    while (i < m) {
+      val idx = java.util.Arrays.binarySearch(sorted, 0, u, a(i))
+      peq(idx * nb + (i >> 6)) |= 1L << (i & 63)
+      i += 1
+    }
+    val vp = new Array[Long](nb)
+    val vn = new Array[Long](nb)
+    java.util.Arrays.fill(vp, -1L)
+    var score = m
+    val lastMask = 1L << ((m - 1) & 63)
+    val lb = nb - 1
+    var j = 0
+    while (j < n) {
+      val idx = java.util.Arrays.binarySearch(sorted, 0, u, b(j))
+      var hin = 1 // row-0 boundary: D(0, j+1) − D(0, j) = +1
+      var r = 0
+      while (r < nb) {
+        var eq = if (idx >= 0) peq(idx * nb + r) else 0L
+        val pv = vp(r)
+        val mv = vn(r)
+        val xv = eq | mv
+        if (hin < 0) eq |= 1L
+        val xh = (((eq & pv) + pv) ^ pv) | eq
+        var ph = mv | ~(xh | pv)
+        var mh = pv & xh
+        val mask = if (r == lb) lastMask else Long.MinValue // bit 63
+        var hout = 0
+        if ((ph & mask) != 0L) hout = 1
+        else if ((mh & mask) != 0L) hout = -1
+        ph = (ph << 1) | (if (hin > 0) 1L else 0L)
+        mh = (mh << 1) | (if (hin < 0) 1L else 0L)
+        vp(r) = mh | ~(xv | ph)
+        vn(r) = ph & xv
+        hin = hout
+        r += 1
+      }
+      score += hin // the last block's hout is the row-m delta
+      j += 1
+    }
+    score
+  }
+
+  private[graft] def levenshteinCp(a: Array[Int], b: Array[Int], k: Int): Int = {
+    val m = a.length
+    val n = b.length
+    if (k < 0) return -1
+    if (math.abs(m - n) > k) return -1
+    if (m == 0) return n
+    if (n == 0) return m
+    val INF = k + 1
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var j = 0
+    while (j <= n) { prev(j) = if (j <= k) j else INF; j += 1 }
+    var i = 1
+    while (i <= m) {
+      val lo = math.max(1, i - k)
+      val hi = math.min(n, i + k)
+      cur(0) = if (i <= k) i else INF
+      if (lo > 1) cur(lo - 1) = INF   // left edge outside the band
+      if (hi < n) cur(hi + 1) = INF   // right edge (read by the next row)
+      var rowMin = cur(0)             // j=0 boundary is a live path when i ≤ k
+      j = lo
+      while (j <= hi) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost                       // substitution
+        val del = prev(j) + 1
+        if (del < v) v = del                             // deletion
+        val ins = cur(j - 1) + 1
+        if (ins < v) v = ins                             // insertion
+        if (v > INF) v = INF
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > k) return -1 // the whole band exceeded the threshold
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    if (prev(n) > k) -1 else prev(n)
+  }
+
   /** 64-bit SimHash over token hashes: bit b of the result is 1 iff the
     * sum over tokens of (+1 / -1 for bit b of the token's hash) is > 0.
     * Token hash = xxHash64-compatible via Spark's hash of the UTF8 bytes is

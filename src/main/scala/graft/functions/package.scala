@@ -103,11 +103,23 @@ package object functions {
     when(uni === 0d, 0d).otherwise(inter / uni)
   }
 
-  /** Levenshtein similarity in [0,1], computed with the bounded built-in
-    * (threshold variant stops the DP early — O(maxDist·len) not len²,
-    * essential on long documents). Distances beyond maxDist floor to 0.
+  /** Levenshtein similarity in [0,1] via the native banded kernel
+    * (code points decoded once per value; O(maxDist·len) band) — the
+    * built-in threshold variant re-decodes UTF8 bytes per DP cell and was
+    * the scoring stage's hot spot (135 s of 173 s at 733k pairs).
+    * Distances beyond maxDist floor to 0.
     */
   def levenshtein_sim(a: Column, b: Column, maxDist: Int): Column = {
+    val longest = greatest(length(a), length(b)).cast("double")
+    val d = Internals.column(LevenshteinBandedExpr(
+      Internals.expression(a), Internals.expression(b), maxDist)).cast("double")
+    when(longest === 0d, 1d)
+      .otherwise(when(d < 0d || d > lit(maxDist.toDouble), 0d)
+        .otherwise(lit(1d) - d / longest))
+  }
+
+  /** Built-in-levenshtein variant (interpreted-parity reference only). */
+  def levenshtein_sim_builtin(a: Column, b: Column, maxDist: Int): Column = {
     val longest = greatest(length(a), length(b)).cast("double")
     val d = levenshtein(a, b, maxDist).cast("double")
     when(longest === 0d, 1d)

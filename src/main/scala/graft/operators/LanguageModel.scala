@@ -166,4 +166,10 @@ object LanguageModel {
     */
   def combine_commonness(score: Column, cmn: Column): Column =
     exp(log(score) + log(greatest(cmn, lit(1e-5))))
+
+  /** None-score convention (ranker_mlm.py:60-62): a candidate whose
+    * retrieval score is None (entity absent from the index → [[lmDocScore]]/
+    * [[nllrScore]] NULL) is KEPT with score 0, not dropped.
+    */
+  def none_score_zero(score: Column): Column = coalesce(score, lit(0d))
 }

