@@ -66,28 +66,48 @@ object Bench {
     * cannot launch executor processes.
     */
   private def clusterScaling(nBase: Long): String = {
-    val exLo = 1
-    val exHi = 4
-    val coresPer = 4
+    // [2,2] vs [8,2]: BOTH configs are multi-executor, so both pay
+    // cross-process shuffle serde — the fair N-vs-4N proxy. ([1,c] as the
+    // baseline would shuffle entirely in-process and overstate the low
+    // config, understating efficiency vs a real cluster where N and 4N
+    // both ship shuffle blocks between JVMs.)
+    val exLo = 2
+    val exHi = 8
+    val coresPer = 2
+    // shuffle + spill on tmpfs when available: the sandbox's single
+    // virtual disk saturates at the 4N config (measured: a hard ~40 s
+    // floor at 16 cores that vanishes on /dev/shm); a real 4N cluster
+    // brings 4N local disks, so tmpfs is the faithful proxy
+    val shm = new java.io.File("/dev/shm")
+    val localDir =
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-bench-tmp"
+      else sys.props.getOrElse("java.io.tmpdir", "/tmp")
     try {
       val jar = classesJar()
       def measure(executors: Int): (Long, Double) = {
         val s = SparkSession.builder()
           .master(s"local-cluster[$executors,$coresPer,8192]")
           .appName(s"graft-bench-cluster-$executors")
-          .config("spark.executor.memory", "8g")
+          .config("spark.executor.memory", "6g")
           .config("spark.jars", jar)
-          .config("spark.sql.shuffle.partitions", "32")
+          .config("spark.local.dir", localDir)
+          // 4 waves at the 4N config; identical at both levels (fairness)
+          .config("spark.sql.shuffle.partitions", "64")
+          .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
           .config("spark.ui.enabled", "false")
           .getOrCreate()
         s.sparkContext.setLogLevel("ERROR")
         try {
-          pipelineRun(s, math.max(nBase / 10, 100)) // warmup: JIT + codegen
           val input = BenchPipeline.stageInput(s, nBase)
-          Seq(BenchPipeline.timedRun(s, input),
-            BenchPipeline.timedRun(s, input)).minBy(_._2)
+          // full-size untimed warmup: first pass after staging pays JIT +
+          // writeback + shuffle-dir setup (measured 3-6× converged time);
+          // then min of 3 — the sandbox shows heavy external timing noise
+          // and min is the only estimator that survives it (both configs
+          // get identical treatment)
+          BenchPipeline.timedRun(s, input)
+          (1 to 3).map(_ => BenchPipeline.timedRun(s, input)).minBy(_._2)
         } finally s.stop()
       }
       val (turnsLo, tLo) = measure(exLo)
@@ -152,7 +172,7 @@ object Bench {
 
     // executor-granularity scaling (separate JVMs — the honest N vs 4N
     // proxy; the in-JVM thread comparison above is kept for continuity)
-    val clusterBase = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_NBASE", "40000").toLong
+    val clusterBase = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_NBASE", "120000").toLong
     val cluster = clusterScaling(clusterBase)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }

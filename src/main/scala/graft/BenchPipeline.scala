@@ -30,8 +30,15 @@ object BenchPipeline {
     val t0 = System.nanoTime()
     val turns = input.count()
     Pipeline.run(input).clusters.write.mode("overwrite").format("noop").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // drop this run's stage blocks NOW: localCheckpoint RDDs are otherwise
+    // only unpersisted when driver GC reaches them (ContextCleaner), so
+    // back-to-back runs stack ~1 GB of dead blocks per run onto executor
+    // storage and successive reps measure under growing memory pressure
     spark.catalog.clearCache()
-    (turns, (System.nanoTime() - t0) / 1e9)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+    (turns, sec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -39,7 +46,14 @@ object BenchPipeline {
     val cores = if (args.length > 1) args(1).toInt else 32
     val reps = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder().master(sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]"))
-      .config("spark.sql.shuffle.partitions", "32")
+      // 64 = 4 waves on the 16-core config (vs 2 at 32, where one straggler
+      // idles half the cores); identical at every parallelism level so the
+      // N-vs-4N comparison only varies compute
+      .config("spark.sql.shuffle.partitions", "64")
+      // the CC singleton-attach join broadcasts the assignment (10-50 MB
+      // at bench scale); the 10 MB default silently degrades it to a
+      // sort-merge shuffle of every doc
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp"))
       // collect_set states are tiny (block members capped at maxBlockSize),
       // so keep the blocking aggregation hash-based instead of the default
@@ -48,8 +62,12 @@ object BenchPipeline {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    timedRun(spark, stageInput(spark, math.max(nBase / 10, 100))) // warmup
     val input = stageInput(spark, nBase)
+    // full-size warmup: the first pass after staging is dominated by JIT,
+    // shuffle-dir creation and the OS writing back the staged parquet
+    // (measured 3-6× the converged time) — burn it untimed so every
+    // measured rep sees the same settled environment
+    timedRun(spark, input)
     val runs = (1 to reps).map { i =>
       val (turns, sec) = timedRun(spark, input)
       println(f"PIPELINE_RUN $i turns=$turns sec=$sec%.2f turns_per_sec=${turns / sec}%.1f")

@@ -140,6 +140,36 @@ case class ShingleHashesExpr(child: Expression, k: Int, seed: Long,
     copy(child = newChild)
 }
 
+/** Winnowed shingle fingerprints (Schleimer et al. SIGMOD'03; see
+  * [[HashingKernels.winnowedShingleHashes]]): the exact-shingle blocking
+  * key generator at a ~w× lower key rate with a length-(w+k−1) shared-run
+  * recall guarantee.
+  */
+case class WinnowedShingleHashesExpr(child: Expression, k: Int, w: Int,
+                                     seed: Long) extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"shingle k=$k and window w=$w must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnowed_shingle_hashes requires array<string>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnowed_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.winnowedShingleHashes(input.asInstanceOf[ArrayData], k, w, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashingKernels.winnowedShingleHashes($c, $k, $w, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -167,6 +167,61 @@ object HashingKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  /** Robust winnowing over the positional k-shingle hash sequence
+    * (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD'03 — the MOSS fingerprinter): from
+    * every window of `w` consecutive shingle hashes keep the minimum
+    * (rightmost on ties), then dedup. Guarantee: two documents sharing any
+    * token run of length ≥ w + k − 1 share at least one selected
+    * fingerprint — selection depends only on hash values, so shared
+    * windows select identically. Cuts exact-shingle blocking keys ~w×
+    * (and the cross-block redundant pair enumeration with them) while
+    * keeping long-run recall.
+    */
+  def winnowedShingleHashes(toks: ArrayData, k: Int, w: Int, seed: Long): ArrayData = {
+    val n = toks.numElements()
+    val nSh = if (n <= k) 1 else n - k + 1
+    val hs = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var h = seed
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        val t = toks.getUTF8String(j)
+        h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h)
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    if (nSh <= w) { // short doc: one global fingerprint
+      var m = hs(0)
+      i = 1
+      while (i < nSh) { if (hs(i) < m) m = hs(i); i += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    val sel = new Array[Long](nSh - w + 1)
+    var cnt = 0
+    var prevPos = -1
+    i = 0
+    while (i + w <= nSh) {
+      var mp = i // rightmost min of hs[i, i+w)
+      var j = i + 1
+      while (j < i + w) { if (hs(j) <= hs(mp)) mp = j; j += 1 }
+      if (mp != prevPos) { sel(cnt) = hs(mp); cnt += 1; prevPos = mp }
+      i += 1
+    }
+    java.util.Arrays.sort(sel, 0, cnt)
+    var wr = 0
+    var r = 0
+    while (r < cnt) {
+      if (wr == 0 || sel(r) != sel(wr - 1)) { sel(wr) = sel(r); wr += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, wr))
+  }
+
   /** All unordered pairs (a < b) of a member array, sorted — the pair
     * enumeration inside a capped block. Output: array<struct<a,b>>.
     * Input arrays are bounded by the block cap, so n² stays tiny; the

@@ -78,6 +78,16 @@ package object functions {
                      distinct: Boolean = true): Column =
     Internals.column(ShingleHashesExpr(Internals.expression(toks), k, seed, distinct))
 
+  /** Winnowed shingle fingerprints: min hash (rightmost tie) of each
+    * w-window of the positional k-shingle hash sequence, deduplicated —
+    * ~w× fewer keys than [[shingle_hashes]] with a guaranteed shared
+    * fingerprint for any shared token run of length ≥ w + k − 1
+    * (Schleimer et al., SIGMOD'03).
+    */
+  def winnowed_shingle_hashes(toks: Column, k: Int, w: Int,
+                              seed: Long = 42L): Column =
+    Internals.column(WinnowedShingleHashesExpr(Internals.expression(toks), k, w, seed))
+
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum xxhash64 over the element set. Null-safe for empty arrays
     * (yields nulls which callers must filter). All built-in exprs.

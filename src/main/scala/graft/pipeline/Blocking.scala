@@ -36,17 +36,31 @@ object Blocking {
     docs.select(col("conv_id"),
       explode(shingle_hashes(col("tokens"), k, ExactShingleSeed)).as("block_key"))
 
+  /** Winnowed exact-shingle blocking: fingerprints selected by robust
+    * winnowing (window `w`) instead of every distinct shingle — ~w× fewer
+    * (block_key, conv_id) rows into the pair-generation shuffle and ~w×
+    * less cross-block pair redundancy, with a guaranteed shared key for
+    * any shared token run of length ≥ w + k − 1. w = 1 ≡ every shingle.
+    */
+  def winnowedShingleBlocks(docs: DataFrame, k: Int, w: Int): DataFrame =
+    if (w <= 1) exactShingleBlocks(docs, k)
+    else docs.select(col("conv_id"),
+      explode(winnowed_shingle_hashes(col("tokens"), k, w, ExactShingleSeed))
+        .as("block_key"))
+
   /** Hybrid blocking: union of LSH band keys and exact shingle keys.
     * LSH gives sub-quadratic candidate generation on near-duplicates; the
     * exact-shingle side restores recall on heavily-noised pairs whose
     * shingle-Jaccard sits below the LSH S-curve knee (they still share
-    * individual intact shingles). Hot exact keys are bounded by the
-    * downstream block cap, so the union stays sub-quadratic.
+    * individual intact shingles — winnowing keeps that guarantee for any
+    * shared run of ≥ w + k − 1 tokens at a fraction of the key rate). Hot
+    * exact keys are bounded by the downstream block cap, so the union
+    * stays sub-quadratic.
     */
   def hybridBlocks(docs: DataFrame, exactK: Int, lshShingleK: Int,
-                   numHashes: Int, bands: Int): DataFrame =
+                   numHashes: Int, bands: Int, winnowW: Int = 1): DataFrame =
     minhashLshBlocks(docs, lshShingleK, numHashes, bands)
-      .unionByName(exactShingleBlocks(docs, exactK))
+      .unionByName(winnowedShingleBlocks(docs, exactK, winnowW))
 
   /** MinHash-LSH blocking: docs(conv_id, tokens) → (block_key, conv_id).
     * Signature of `numHashes` min-hashes over k-shingles, cut into `bands`
@@ -88,9 +102,14 @@ object Blocking {
     // broadcast anti-join BEFORE collecting members — collect_set on an
     // unbounded hot key would buffer millions of ids in one aggregation
     // state at 100 TB
+    // lazy-checkpointed: the hot-key set is consumed twice (anti-join
+    // broadcast here, metrics materialization in the pipeline) and the
+    // count aggregate it derives from is a full pass over the block table —
+    // evaluating it once, not per consumer, is worth seconds per run
     val dropped = blocks.groupBy("block_key")
       .agg(count(lit(1)).as("block_size"))
       .where(col("block_size") > maxBlockSize)
+      .localCheckpoint(false)
     val filtered = blocks.join(
       broadcast(dropped.select("block_key")), Seq("block_key"), "left_anti")
     val kept = filtered.groupBy("block_key")

@@ -28,17 +28,34 @@ object ConnectedComponents {
   /** edges(src, dst) undirected, self-loops ignored →
     * assignment(conv_id, cluster_id); only nodes appearing in edges are
     * returned (callers attach singletons with coalesce).
+    *
+    * `localMaxEdges` > 0 enables the hybrid finisher: when the distinct
+    * edge set fits under the bound, the components are closed with a
+    * driver-side union-find instead of O(log n) distributed rounds — the
+    * iterative tail is pure per-round scheduler latency once edges are
+    * small, and "small" here is millions while the upstream stages are the
+    * ones that scale with the lake. Identical output (cluster id = min
+    * member, exactly the star-forest convention); 0 disables (default, and
+    * the TableIO resume path keeps per-round snapshots).
     */
   def run(edges: DataFrame,
-          checkpoint: (DataFrame, Int) => DataFrame = (df, _) => df.localCheckpoint(true),
+          // lazy localCheckpoint: the round's fingerprint aggregate is the
+          // action that materializes it, so each round costs ONE job, not
+          // two — the per-round driver latency is the serial floor of the
+          // whole pipeline once the data stages scale out
+          checkpoint: (DataFrame, Int) => DataFrame = (df, _) => df.localCheckpoint(false),
           maxIter: Int = 50,
-          onRound: (Int, Long, Long) => Unit = (_, _, _) => ()): DataFrame = {
+          onRound: (Int, Long, Long) => Unit = (_, _, _) => (),
+          localMaxEdges: Long = 0L): DataFrame = {
     val spark = edges.sparkSession
     var e = edges.select(
       least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
     e = checkpoint(e, -1)
+
+    if (localMaxEdges > 0 && e.count() <= localMaxEdges)
+      return localUnionFind(e)
 
     var fingerprint = (-1L, -1L)
     var iter = 0
@@ -61,6 +78,44 @@ object ConnectedComponents {
     sym.groupBy(col("u").as("conv_id"))
       .agg(min(col("v")).as("min_nbr"))
       .select(col("conv_id"), least(col("min_nbr"), col("conv_id")).as("cluster_id"))
+  }
+
+  /** Driver-side union-find with path compression, min member as the
+    * representative — byte-identical to the star-forest result. Only
+    * reached under `localMaxEdges`.
+    */
+  private def localUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val parent = new java.util.HashMap[String, String]()
+    def find(x: String): String = {
+      var root = x
+      while (parent.get(root) != root) root = parent.get(root)
+      var cur = x // path compression
+      while (parent.get(cur) != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
+      root
+    }
+    // collect(), not toLocalIterator(): the latter fetches partitions one
+    // round-trip at a time (numShufflePartitions sequential jobs); the
+    // localMaxEdges guard already bounds driver memory
+    val rows = e.select("u", "v").collect()
+    var ri = 0
+    while (ri < rows.length) {
+      val row = rows(ri)
+      ri += 1
+      val u = row.getString(0)
+      val v = row.getString(1)
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val ru = find(u)
+      val rv = find(v)
+      if (ru != rv) { // min id wins as the representative
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String)](parent.size())
+    parent.keySet().forEach(k => out += ((k, find(k))))
+    import spark.implicits._
+    out.toSeq.toDF("conv_id", "cluster_id")
   }
 
   /** large-star: each node u links its larger neighbors to the minimum of

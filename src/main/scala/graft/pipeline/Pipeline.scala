@@ -35,6 +35,10 @@ object Pipeline {
       // cap costs no recall (golden F1 stays 1.0) and cuts the dominant
       // shuffle ~10×.
       maxBlockSize: Int = 16,
+      // robust-winnowing window for the exact-shingle side of hybrid
+      // blocking: any shared token run of length ≥ winnowWindow+shingleK−1
+      // still shares a key; cuts the dominant pair-generation shuffle ~w×
+      winnowWindow: Int = 8,
       weights: Scoring.Weights = Scoring.Weights(),
       scoreThreshold: Double = 0.55,
       prefixChars: Int = 256,
@@ -117,7 +121,8 @@ object Pipeline {
         case LshBlocking =>
           Blocking.minhashLshBlocks(docs, cfg.lshShingleK, cfg.numHashes, cfg.bands)
         case HybridBlocking =>
-          Blocking.hybridBlocks(docs, cfg.shingleK, cfg.lshShingleK, cfg.numHashes, cfg.bands)
+          Blocking.hybridBlocks(docs, cfg.shingleK, cfg.lshShingleK,
+            cfg.numHashes, cfg.bands, cfg.winnowWindow)
       }
     }
 
@@ -136,9 +141,18 @@ object Pipeline {
         // one table per round (resume-from-round-k; round 1 overwrote a
         // single "cc_round" table, making documented resume impossible)
         case Some(t) => (df, i) => { t.write(df, s"cc_round_$i"); t.read(s"cc_round_$i") }
-        case None => (df, _) => df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // lazy: the CC round's own fingerprint aggregate materializes it —
+        // one job per round instead of two (driver latency is CC's floor)
+        case None => (df, _) => df.localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       }
-      val assignment = ConnectedComponents.run(edges, checkpointFn)
+      // hybrid finisher on the in-memory path: when the match-edge set is
+      // under 4M, close components with a driver union-find — the
+      // distributed rounds' per-round latency is the pipeline's serial
+      // floor, and 4M edges is noise next to the upstream stages that
+      // actually scale with the lake. TableIO mode keeps the per-round
+      // snapshots (documented resume-from-round-k).
+      val assignment = ConnectedComponents.run(edges, checkpointFn,
+        localMaxEdges = if (io.isEmpty) 4000000L else 0L)
       // attach singletons: every conversation is its own cluster unless linked
       docs.select(col("conv_id")).join(assignment, Seq("conv_id"), "left")
         .select(col("conv_id"), coalesce(col("cluster_id"), col("conv_id")).as("cluster_id"))

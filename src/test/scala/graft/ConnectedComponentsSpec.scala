@@ -55,4 +55,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
     touched.foreach { id => assert(got(id) == byRoot(id), s"node $id") }
   }
+
+  test("hybrid driver union-find finisher ≡ distributed rounds (random graphs)") {
+    for (seed <- Seq(3, 19, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 150
+      val ids = (0 until n).map(i => f"n$i%04d")
+      val edges = (0 until 180).map(_ => (ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+      val df = edges.toDF("src", "dst")
+      val distributed = ConnectedComponents.run(df)
+        .as[(String, String)].collect().toMap
+      val hybrid = ConnectedComponents.run(df, localMaxEdges = 1000000L)
+        .as[(String, String)].collect().toMap
+      assert(hybrid == distributed, s"seed=$seed")
+    }
+  }
 }

@@ -174,6 +174,31 @@ class FunctionsSpec extends SparkSpec {
     native.zip(hof).foreach { case (n, h) => assert(math.abs(n - h) < 1e-9) }
   }
 
+  test("winnowed shingles: subset of full shingles, w=1 ≡ all, shared-run guarantee") {
+    val rnd = new scala.util.Random(23)
+    def doc(n: Int): Seq[String] = Seq.fill(n)("t" + rnd.nextInt(500))
+    for (_ <- 0 until 25) {
+      val toks = doc(30 + rnd.nextInt(100))
+      val df = Seq(Tuple1(toks)).toDF("tokens")
+      val full = df.select(shingle_hashes($"tokens", 3, 7L)).as[Seq[Long]].head().toSet
+      val win = df.select(winnowed_shingle_hashes($"tokens", 3, 8, 7L)).as[Seq[Long]].head()
+      assert(win.nonEmpty && win.toSet.subsetOf(full))
+      assert(win.toSet.size < full.size || full.size <= 2)
+      val w1 = df.select(winnowed_shingle_hashes($"tokens", 3, 1, 7L)).as[Seq[Long]].head().toSet
+      assert(w1 == full) // w=1 degenerates to every distinct shingle
+    }
+    // guarantee: docs sharing a run of ≥ w+k−1 tokens share ≥1 fingerprint
+    for (_ <- 0 until 25) {
+      val shared = doc(10) // w+k−1 = 8+3−1 = 10
+      val a = doc(rnd.nextInt(60)) ++ shared ++ doc(rnd.nextInt(60))
+      val b = doc(rnd.nextInt(60)) ++ shared ++ doc(rnd.nextInt(60))
+      val df = Seq(Tuple1(a), Tuple1(b)).toDF("tokens")
+      val fp = df.select(winnowed_shingle_hashes($"tokens", 3, 8, 7L)).as[Seq[Long]].collect()
+      assert(fp(0).toSet.intersect(fp(1).toSet).nonEmpty,
+        s"shared 10-token run produced no shared fingerprint")
+    }
+  }
+
   test("Myers bit-parallel levenshtein ≡ banded DP across block boundaries (fuzz)") {
     import graft.functions.SimilarityKernels.{levenshteinCp, levenshteinMyersCp}
     val rnd = new scala.util.Random(11)
