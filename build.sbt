@@ -12,8 +12,12 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // local-cluster masters (Bench's executor-granularity scaling block) need
-// SPARK_HOME in the forked JVM to launch executor processes
+// SPARK_HOME in the forked JVM to launch executor processes, and
+// SPARK_SCALA_VERSION because outside spark-submit load-spark-env.sh never
+// runs and the launcher's getScalaVersion falls into its dev-build path
+// ("Cannot find any build directories")
 run / envVars += ("SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+run / envVars += ("SPARK_SCALA_VERSION" -> "2.13")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

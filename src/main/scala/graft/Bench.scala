@@ -129,7 +129,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scaleBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_NBASE", "20000").toLong
+    // 80k bases ≈ 1.1M turns: after the round-2 speedups a 20k input ran in
+    // ~7 s — pure fixed cost — and the thread comparison measured nothing
+    val scaleBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_NBASE", "80000").toLong
 
     // --- operator queries at the requested parallelism ---
     val spark = session(cpus)
