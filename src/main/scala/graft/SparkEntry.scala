@@ -431,6 +431,23 @@ object SparkEntry {
         percent_decode(lit("a%2Fb%20c")).as("dec"))
     }),
 
+    // ---- fb ⋈ sameAs id map (entity.py:79-119): left-join + first
+    //      target-collection entry in stored order, NULL when unmapped ----
+    "q43_sameas_map" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      // deterministic sameAs dimension derived from the table itself:
+      // ids divisible by 3 carry no fb entry (exercises the NULL path)
+      val mapping = n.select(col("n_nationkey").as("id"),
+        when(pmod(col("n_nationkey"), lit(3)) === 0,
+          array(concat(lit("<dbp:"), col("n_name"), lit(">"))))
+          .otherwise(array(concat(lit("<dbp:"), col("n_name"), lit(">")),
+            concat(lit("<fb:m."), lower(col("n_name")), lit(">"))))
+          .as("same_as"))
+      ReferenceOps.sameAsMap(n.select("n_nationkey", "n_name"),
+          "n_nationkey", mapping, "<fb:")
+        .select(col("n_nationkey"), col("n_name"), col("mapped"))
+    }),
+
     // ---- instance concat with stable id reassign (instances.py:268-283) ----
     "q41_instance_concat" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -919,6 +936,14 @@ object SparkEntry {
                 '/m/' || lower(n_name) AS fb_id,
                 replace(n_name, '_', ' ') AS name,
                 'a/b c' AS dec
+         FROM nation""",
+
+    // first fb-prefixed entry of the constructed sameAs array in stored
+    // order; ids ≡ 0 (mod 3) carry none → NULL (entity.py:79-119)
+    "q43_sameas_map" ->
+      """SELECT n_nationkey, n_name,
+                CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                     ELSE '<fb:m.' || lower(n_name) || '>' END AS mapped
          FROM nation""",
 
     "q41_instance_concat" ->

@@ -93,6 +93,23 @@ object ReferenceOps {
       when(mx === mn, 0.5).otherwise((col(scoreCol) - mn) / (mx - mn)))
   }
 
+  /** sameAs id map (nordlys/entity/entity.py:79-119): left-join the
+    * `mapping(id, same_as: array<string>)` dimension, then take the FIRST
+    * array entry of the target collection (prefix match) in stored order —
+    * NULL when the id is unmapped or no entry matches. The reference's
+    * Mongo k/v lookup re-expressed as a broadcast left join + ordered
+    * array scan; output adds `mapped`.
+    */
+  def sameAsMap(df: DataFrame, idCol: String, mapping: DataFrame,
+                targetPrefix: String): DataFrame = {
+    val m = mapping.select(col("id").as("__sameas_id"), col("same_as"))
+    df.join(broadcast(m), col(idCol) === col("__sameas_id"), "left")
+      .withColumn("mapped",
+        try_element_at(filter(col("same_as"),
+          u => u.startsWith(lit(targetPrefix))), lit(1)))
+      .drop("__sameas_id", "same_as")
+  }
+
   /** Sessionize events by user with an inactivity gap — the generic
     * "interpretation set" of an event stream; lag + conditional running
     * sum, two windows over one partitioning.

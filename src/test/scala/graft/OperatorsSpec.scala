@@ -218,4 +218,17 @@ class OperatorsSpec extends SparkSpec {
       .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("ReferenceOps.sameAsMap: first target-prefix entry in stored order, NULL paths (entity.py:79-119)") {
+    val ids = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L), Tuple1(4L)).toDF("id0")
+    val mapping = Seq(
+      (1L, Seq("<dbp:X>", "<fb:m.a>", "<fb:m.b>")), // two fb entries → first wins
+      (2L, Seq("<dbp:Y>")),                         // mapped, no fb entry → NULL
+      (3L, Seq("<fb:m.c>"))                         // fb-only
+    ).toDF("id", "same_as")                          // id 4: unmapped → NULL
+    val out = ReferenceOps.sameAsMap(ids, "id0", mapping, "<fb:")
+      .select("id0", "mapped").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> Some("<fb:m.a>"), 2L -> None,
+      3L -> Some("<fb:m.c>"), 4L -> None))
+  }
 }
