@@ -33,8 +33,10 @@ object Bench {
   /** One full pipeline run over parquet-staged input (resilient to
     * executor loss, unlike localCheckpoint blocks); returns (turns, sec).
     */
-  private def pipelineRun(spark: SparkSession, nBase: Long): (Long, Double) =
-    BenchPipeline.timedRun(spark, BenchPipeline.stageInput(spark, nBase))
+  private def pipelineRun(spark: SparkSession, nBase: Long): (Long, Double) = {
+    val (turns, sec, _) = BenchPipeline.timedRun(spark, BenchPipeline.stageInput(spark, nBase))
+    (turns, sec)
+  }
 
   /** Zip the compiled classes into a jar so local-cluster executor JVMs
     * (separate processes) can load graft classes via spark.jars.
@@ -84,7 +86,7 @@ object Bench {
       else sys.props.getOrElse("java.io.tmpdir", "/tmp")
     try {
       val jar = classesJar()
-      def measure(executors: Int): (Long, Double) = {
+      def measure(executors: Int): (Long, Double, Map[String, Double]) = {
         val s = SparkSession.builder()
           .master(s"local-cluster[$executors,$coresPer,8192]")
           .appName(s"graft-bench-cluster-$executors")
@@ -110,15 +112,19 @@ object Bench {
           (1 to 3).map(_ => BenchPipeline.timedRun(s, input)).minBy(_._2)
         } finally s.stop()
       }
-      val (turnsLo, tLo) = measure(exLo)
-      val (_, tHi) = measure(exHi)
+      def stagesJson(st: Map[String, Double]): String =
+        st.toSeq.sortBy(_._1).map { case (k, v) => f""""$k":$v%.2f""" }
+          .mkString("{", ",", "}")
+      val (turnsLo, tLo, stLo) = measure(exLo)
+      val (_, tHi, stHi) = measure(exHi)
       val thrLo = turnsLo / tLo
       val thrHi = turnsLo / tHi
       val eff = (thrHi / thrLo) / (exHi.toDouble / exLo)
       f"""{"turns":$turnsLo,"executors_lo":$exLo,"executors_hi":$exHi,""" +
         f""""cores_per_executor":$coresPer,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,""" +
         f""""turns_per_sec_lo":$thrLo%.1f,"turns_per_sec_hi":$thrHi%.1f,""" +
-        f""""scaling_efficiency":$eff%.3f}"""
+        f""""scaling_efficiency":$eff%.3f,""" +
+        s""""stages_lo":${stagesJson(stLo)},"stages_hi":${stagesJson(stHi)}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] local-cluster scaling unavailable: $e")
@@ -162,6 +168,7 @@ object Bench {
       pipelineRun(s, math.min(scaleBase, 500L)) // warmup (JIT, codegen cache)
       val input = BenchPipeline.stageInput(s, scaleBase)
       val runs = Seq(BenchPipeline.timedRun(s, input), BenchPipeline.timedRun(s, input))
+        .map { case (t, sec, _) => (t, sec) }
       s.stop()
       runs.minBy(_._2)
     }
@@ -186,7 +193,14 @@ object Bench {
         f""""sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,""" +
         f""""turns_per_sec_lo":$thrLo%.1f,"turns_per_sec_hi":$thrHi%.1f,""" +
         f""""scaling_efficiency":$eff%.3f}"""
-    println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","pipeline":$pipeline,"pipeline_cluster":$cluster}""")
+    val json =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","pipeline":$pipeline,"pipeline_cluster":$cluster}"""
+    println(json)
+    // also write to a file: the driver greps the sbt log tail for the JSON
+    // line, and sbt interleaves [error]-stream INFO noise around it — the
+    // file is the robust artifact (BENCH_rN "parsed" was null in round 2)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

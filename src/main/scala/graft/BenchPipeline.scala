@@ -25,12 +25,19 @@ object BenchPipeline {
     spark.read.parquet(dir)
   }
 
-  /** One timed end-to-end run over staged input: scan → pipeline → noop. */
-  private[graft] def timedRun(spark: SparkSession, input: DataFrame): (Long, Double) = {
+  /** One timed end-to-end run over staged input: scan → pipeline → noop.
+    * Returns (turns, sec, per-stage seconds of this run).
+    */
+  private[graft] def timedRun(spark: SparkSession,
+                              input: DataFrame): (Long, Double, Map[String, Double]) = {
     val t0 = System.nanoTime()
     val turns = input.count()
     Pipeline.run(input).clusters.write.mode("overwrite").format("noop").save()
     val sec = (System.nanoTime() - t0) / 1e9
+    val stages = {
+      import scala.jdk.CollectionConverters._
+      Pipeline.stageTimings.asScala.toMap
+    }
     // drop this run's stage blocks NOW: localCheckpoint RDDs are otherwise
     // only unpersisted when driver GC reaches them (ContextCleaner), so
     // back-to-back runs stack ~1 GB of dead blocks per run onto executor
@@ -38,7 +45,7 @@ object BenchPipeline {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     System.gc()
-    (turns, sec)
+    (turns, sec, stages)
   }
 
   def main(args: Array[String]): Unit = {
@@ -69,7 +76,7 @@ object BenchPipeline {
     // measured rep sees the same settled environment
     timedRun(spark, input)
     val runs = (1 to reps).map { i =>
-      val (turns, sec) = timedRun(spark, input)
+      val (turns, sec, _) = timedRun(spark, input)
       println(f"PIPELINE_RUN $i turns=$turns sec=$sec%.2f turns_per_sec=${turns / sec}%.1f")
       (turns, sec)
     }

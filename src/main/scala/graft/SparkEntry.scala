@@ -381,10 +381,13 @@ object SparkEntry {
       val facc = Features.faccIndex(
         docs.select(col("doc_id"), explode(toks(col("text"))).as("entity")))
       val numDocs = docs.count()
-      val vocab = facc.select("entity").distinct()
-      val pairs = vocab.select(col("entity").as("e1"))
-        .crossJoin(vocab.select(col("entity").as("e2")))
+      // candidate pairs from actual co-occurrence (facc self-join on
+      // doc_id) — what a real caller feeds the operator. The round-2
+      // vocab×vocab crossJoin fixture was quadratic in vocabulary size.
+      val pairs = facc.select(col("entity").as("e1"), col("doc_id"))
+        .join(facc.select(col("entity").as("e2"), col("doc_id")), "doc_id")
         .where(col("e1") < col("e2"))
+        .select("e1", "e2").distinct()
       Features.faccPairFeatures(pairs, facc, numDocs)
         .select(col("e1"), col("e2"), col("and_freq"), col("or_freq"),
           round(col("joint_prob"), 4).as("joint_prob"),
@@ -459,7 +462,53 @@ object SparkEntry {
 
     // ---- train-set stats (train_set_cer.py:166-220) ----
     "q42_train_stats" -> ((s, d) =>
-      Features.trainSetStats(t(s, d, "documents"), "lang", "source"))
+      Features.trainSetStats(t(s, d, "documents"), "lang", "source")),
+
+    // ---- set-level FACC features over whole n-entity sets
+    //      (facc_feat.py:44-113; AND/OR doc counts, n = 3 here) ----
+    "q44_facc_set_features" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val facc = Features.faccIndex(
+        docs.select(col("doc_id"), explode(toks(col("text"))).as("entity")))
+      val numDocs = docs.count()
+      // deterministic 3-entity sets: the 3 lexicographically-smallest
+      // distinct tokens of every 17th document
+      val sets = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").as("set_id"),
+          explode(slice(array_sort(array_distinct(toks(col("text")))), 1, 3)).as("entity"))
+      Features.faccSetFeatures(sets, facc, numDocs)
+        .select(col("set_id"), col("n"), col("and_freq"), col("or_freq"),
+          round(col("joint_prob"), 4).as("joint_prob"),
+          round(col("entropy"), 4).as("entropy"),
+          round(col("jc"), 4).as("jc"),
+          round(col("mw_rel"), 4).as("mw_rel"))
+    }),
+
+    // ---- GT → ISF instance conversion (train_set_isf.py:89-122),
+    //      exploded back to entries for the oracle compare ----
+    "q45_gt_isf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // gt-shaped fixture: qid = lang, set_id = source (with every 7th row
+      // sent to the "-1" no-interpretation marker), entity = doc_id,
+      // mention = smallest token
+      val gt = docs.select(
+        col("lang").as("qid"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("-1"))
+          .otherwise(col("source")).as("set_id"),
+        col("doc_id").cast("string").as("entity"),
+        array_min(toks(col("text"))).as("mention"))
+      Features.gtToIsfInstances(gt)
+        .select(col("qid"), col("set_id"), col("target"),
+          explode(col("inter_set")).as(Seq("entity", "mention")))
+    }),
+
+    // ---- IVF with a k-means-trained codebook (2 Lloyd rounds),
+    //      deterministic → full DuckDB replica oracle ----
+    "q46_ann_ivf_trained" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilaritySearch.ivfTopKTrained(emb.where(col("vec_id") < 20), emb, 5, 16, 4, 2)
+        .withColumn("rnk", col("rnk").cast("long"))
+    })
   )
 
   // ------------------------------------------------------------------
@@ -860,8 +909,9 @@ object SparkEntry {
                         FROM documents),
             nd AS (SELECT count(*)::BIGINT AS n FROM documents),
             ef AS (SELECT entity, count(DISTINCT doc_id) AS freq FROM facc GROUP BY 1),
-            pairs AS (SELECT a.entity AS e1, b.entity AS e2
-                      FROM ef a, ef b WHERE a.entity < b.entity),
+            pairs AS (SELECT DISTINCT x.entity AS e1, y.entity AS e2
+                      FROM facc x JOIN facc y USING (doc_id)
+                      WHERE x.entity < y.entity),
             andf AS (SELECT x.entity AS e1, y.entity AS e2, count(*) AS and_freq
                      FROM facc x JOIN facc y USING (doc_id)
                      WHERE x.entity < y.entity GROUP BY 1, 2),
@@ -990,6 +1040,109 @@ object SparkEntry {
             SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine DESC, nbr_id) AS rnk FROM s)
           WHERE rnk <= 5""",
+
+    "q44_facc_set_features" ->
+      s"""WITH facc AS (SELECT DISTINCT doc_id, unnest(list_distinct($TOKS)) AS entity
+                        FROM documents),
+            nd AS (SELECT count(*)::BIGINT AS ndocs FROM documents),
+            s AS (SELECT DISTINCT doc_id AS set_id,
+                         unnest(list_sort(list_distinct(t))[1:3]) AS entity
+                  FROM (SELECT doc_id, $TOKS AS t FROM documents)
+                  WHERE doc_id % 17 = 0),
+            n AS (SELECT set_id, count(*) AS n FROM s GROUP BY 1),
+            ef AS (SELECT entity, count(DISTINCT doc_id) AS freq FROM facc GROUP BY 1),
+            fs AS (SELECT set_id, min(coalesce(freq, 0)) AS min_f,
+                          max(coalesce(freq, 0)) AS max_f
+                   FROM s LEFT JOIN ef USING (entity) GROUP BY 1),
+            pd AS (SELECT set_id, doc_id, count(*) AS k
+                   FROM s JOIN facc USING (entity) GROUP BY 1, 2),
+            orf AS (SELECT set_id, count(*) AS or_freq FROM pd GROUP BY 1),
+            andf AS (SELECT pd.set_id, count(*) AS and_freq
+                     FROM pd JOIN n USING (set_id) WHERE k = n GROUP BY 1),
+            j AS (SELECT n.set_id, n.n, fs.min_f, fs.max_f,
+                         coalesce(or_freq, 0) AS or_freq,
+                         coalesce(and_freq, 0) AS and_freq,
+                         coalesce(and_freq, 0)::DOUBLE / nd.ndocs AS p, nd.ndocs
+                  FROM n JOIN fs USING (set_id)
+                         LEFT JOIN orf USING (set_id)
+                         LEFT JOIN andf USING (set_id) CROSS JOIN nd)
+          SELECT set_id, n, and_freq, or_freq, round(p, 4) AS joint_prob,
+                 round(CASE WHEN p <= 0 OR p >= 1 THEN 0
+                       ELSE -(p * ln(p)) - (1.0 - p) * ln(1.0 - p) END, 4) AS entropy,
+                 round(CASE WHEN n = 1 THEN -1 WHEN and_freq = 0 THEN 0
+                       ELSE and_freq::DOUBLE / or_freq END, 4) AS jc,
+                 round(CASE WHEN n = 1 THEN -1
+                       WHEN min_f = 0 OR and_freq = 0 THEN 0
+                       WHEN ln(ndocs::DOUBLE) - ln(min_f::DOUBLE) = 0 THEN
+                         (CASE WHEN ln(max_f::DOUBLE) - ln(and_freq::DOUBLE) = 0
+                               THEN 1 ELSE 0 END)
+                       ELSE greatest(1.0 - (ln(max_f::DOUBLE) - ln(and_freq::DOUBLE))
+                              / (ln(ndocs::DOUBLE) - ln(min_f::DOUBLE)), 0) END, 4) AS mw_rel
+          FROM j""",
+
+    "q45_gt_isf" ->
+      s"""WITH gt AS (SELECT lang AS qid,
+                   CASE WHEN doc_id % 7 = 0 THEN '-1' ELSE source END AS set_id,
+                   doc_id::VARCHAR AS entity, list_min($TOKS) AS mention
+                 FROM documents)
+          SELECT qid, set_id, '1' AS target, entity, max(mention) AS mention
+          FROM gt WHERE set_id <> '-1' AND entity IS NOT NULL
+          GROUP BY qid, set_id, entity""",
+
+    // q46: full replica of the 2-round spherical k-means codebook (every
+    // centroid coordinate rounded to 1e-6 each round, exactly as
+    // SimilaritySearch.kmeansCentroids does, so assignment argmax is
+    // engine-independent), then IVF probe/search as q20
+    "q46_ann_ivf_trained" -> {
+      def iter(prev: String, cur: String) =
+        s"""a_$cur AS (SELECT cv, cell FROM (
+                SELECT e.embedding::DOUBLE[] AS cv, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_inner_product(e.embedding::DOUBLE[], c.cvn) DESC,
+                                  c.cell) AS r
+                FROM embeddings e CROSS JOIN $prev c) WHERE r = 1),
+            m_$cur AS (SELECT cell, i, round(avg(v), 6) AS m FROM
+                         (SELECT cell, generate_subscripts(cv, 1) AS i,
+                                 unnest(cv) AS v FROM a_$cur)
+                       GROUP BY 1, 2),
+            mv_$cur AS (SELECT cell, list(m ORDER BY i) AS v FROM m_$cur GROUP BY cell),
+            $cur AS (SELECT p.cell,
+                       CASE WHEN mv.v IS NULL THEN p.cvn
+                            ELSE list_transform(list_transform(mv.v,
+                                   x -> x / sqrt(list_inner_product(mv.v, mv.v))),
+                                 x -> round(x, 6)) END AS cvn
+                     FROM $prev p LEFT JOIN mv_$cur mv USING (cell))"""
+      s"""WITH seed AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+                               embedding::DOUBLE[] AS cv
+                        FROM (SELECT vec_id, embedding FROM embeddings
+                              ORDER BY vec_id LIMIT 16)),
+            c0 AS (SELECT cell, list_transform(
+                     list_transform(cv, x -> x / sqrt(list_inner_product(cv, cv))),
+                     x -> round(x, 6)) AS cvn FROM seed),
+            ${iter("c0", "c1")},
+            ${iter("c1", "c2")},
+            assign AS (SELECT nbr_id, cv, cell FROM (
+                SELECT e.vec_id AS nbr_id, e.embedding AS cv, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_inner_product(e.embedding::DOUBLE[], c.cvn) DESC,
+                                  c.cell) AS r
+                FROM embeddings e CROSS JOIN c2 c) WHERE r = 1),
+            q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                  WHERE vec_id < 20),
+            probes AS (SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, c.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY round(list_cosine_similarity(q.qv::DOUBLE[], c.cvn), 6) DESC,
+                                  c.cell) AS r
+                FROM q CROSS JOIN c2 c) WHERE r <= 4),
+            s AS (SELECT query_id, nbr_id,
+                    round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cosine
+                  FROM probes JOIN assign USING (cell) WHERE query_id <> nbr_id)
+          SELECT query_id, nbr_id, cosine, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, nbr_id) AS rnk FROM s)
+          WHERE rnk <= 5"""
+    },
 
     // q28: the pipeline input is self-generated (TranscriptGen nBase=50,
     // dupsPerBase=2 — independent of the sf dir) and fully deterministic;

@@ -23,8 +23,14 @@ object HashingKernels {
     * `band_keys(minhash_signature(word_shingles(tokens, k), H), B, H/B)`
     * modulo the hash family (different constants, same S-curve).
     */
+  private val EmptyLongs = Array.empty[Long]
+
   def minhashBandKeys(toks: ArrayData, k: Int, numHashes: Int, bands: Int): ArrayData = {
     val n = toks.numElements()
+    // zero tokens → zero keys: an empty doc is unblockable, not a member
+    // of every band bucket (which would make punctuation-only docs a hot
+    // key AND pair them all with each other)
+    if (n == 0) return new GenericArrayData(EmptyLongs)
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val nSh = if (n <= k) 1 else n - k + 1 // short docs: one whole-doc shingle
@@ -141,6 +147,10 @@ object HashingKernels {
     */
   def shingleHashes(toks: ArrayData, k: Int, seed: Long, distinct: Boolean): ArrayData = {
     val n = toks.numElements()
+    // zero tokens → empty set (NOT a [seed] sentinel): two docs that both
+    // normalize to nothing must score token_jaccard 0.0, not 1.0, and an
+    // empty doc must not carry a shared block key
+    if (n == 0) return new GenericArrayData(EmptyLongs)
     val nSh = if (n <= k) 1 else n - k + 1
     val out = new Array[Long](nSh)
     var i = 0
@@ -180,6 +190,7 @@ object HashingKernels {
     */
   def winnowedShingleHashes(toks: ArrayData, k: Int, w: Int, seed: Long): ArrayData = {
     val n = toks.numElements()
+    if (n == 0) return new GenericArrayData(EmptyLongs) // see shingleHashes
     val nSh = if (n <= k) 1 else n - k + 1
     val hs = new Array[Long](nSh)
     var i = 0

@@ -215,14 +215,19 @@ package object functions {
     * through unchanged.
     */
   def uri_to_name(c: Column): Column = {
-    val dec = url_decode(c)
+    val dec = percent_decode(c)
     when(dec.startsWith("<") && dec.endsWith(">"),
       translate(regexp_extract(dec, ":([^:]*)>$", 1), "_", " "))
       .otherwise(dec)
   }
 
-  /** Percent-decode (indexer.py:29 unquote). */
-  def percent_decode(c: Column): Column = url_decode(c)
+  /** Percent-decode (indexer.py:29 unquote). Python's unquote never raises
+    * on malformed escapes (a stray '%' passes through), while Spark 4's
+    * url_decode throws and fails the whole job — try_url_decode + raw-value
+    * fallback reproduces the reference's tolerance on dirty data.
+    */
+  def percent_decode(c: Column): Column =
+    coalesce(try_url_decode(c), c)
 
   /** Word-overlap predicate over two mention strings — column form of
     * segmentation.py:91-110 (a shared word ⇒ overlapping; within-mention

@@ -71,6 +71,54 @@ object Features {
       })
   }
 
+  /** Set-level FACC features for whole entity sets of any size n ≥ 1
+    * (facc_feat.py:44-113 — the reference ANDs/ORs n Lucene term queries
+    * per set): and_freq = #docs containing ALL member entities, or_freq =
+    * #docs containing ANY, plus joint probability, binary entropy, set
+    * Jaccard and Milne-Witten over min/max single-entity frequencies.
+    * Conventions match the reference exactly: singleton sets → jc = −1,
+    * mw_rel = −1 (facc_feat.py:71,99); and_freq = 0 → jc = 0, mw = 0;
+    * any member with zero corpus frequency → mw = 0; mw clamped at 0.
+    *
+    * Shape: the AND count needs no n-way self-join — one join of members
+    * to the co-occurrence table, then a per-(set, doc) member count
+    * compared against the set size. Two shuffles regardless of n.
+    */
+  def faccSetFeatures(sets: DataFrame, facc: DataFrame, numDocs: Long): DataFrame = {
+    val s = sets.select("set_id", "entity").distinct() // reference set()s the ids
+    val n = s.groupBy("set_id").agg(count(lit(1)).as("n"))
+    val ef = facc.groupBy("entity").agg(countDistinct("doc_id").as("freq"))
+    val fstats = s.join(ef, Seq("entity"), "left").na.fill(0L, Seq("freq"))
+      .groupBy("set_id").agg(min("freq").as("min_f"), max("freq").as("max_f"))
+    val perDoc = s.join(facc, "entity")
+      .groupBy("set_id", "doc_id").agg(count(lit(1)).as("k"))
+    val orF = perDoc.groupBy("set_id").agg(count(lit(1)).as("or_freq"))
+    val andF = perDoc.join(n, "set_id").where(col("k") === col("n"))
+      .groupBy("set_id").agg(count(lit(1)).as("and_freq"))
+    val p = col("and_freq").cast("double") / numDocs
+    n
+      .join(fstats, Seq("set_id"), "left")
+      .join(orF, Seq("set_id"), "left")
+      .join(andF, Seq("set_id"), "left")
+      .na.fill(0L, Seq("min_f", "max_f", "or_freq", "and_freq"))
+      .withColumn("joint_prob", p)
+      .withColumn("entropy",
+        when(p <= 0d || p >= 1d, 0d)
+          .otherwise(-(p * log(p)) - (lit(1d) - p) * log(lit(1d) - p)))
+      .withColumn("jc",
+        when(col("n") === 1, -1d)
+          .when(col("and_freq") === 0, 0d)
+          .otherwise(col("and_freq").cast("double") / col("or_freq")))
+      .withColumn("mw_rel", {
+        val numer = log(col("max_f").cast("double")) - log(col("and_freq").cast("double"))
+        val denom = log(lit(numDocs.toDouble)) - log(col("min_f").cast("double"))
+        when(col("n") === 1, -1d)
+          .when(col("min_f") === 0 || col("and_freq") === 0, 0d)
+          .when(denom === 0d, when(numer === 0d, 1d).otherwise(0d))
+          .otherwise(greatest(lit(1d) - numer / denom, lit(0d)))
+      })
+  }
+
   // ---------- wikilink graph set features (graph_feat.py) ----------
 
   /** Set-level graph features over cluster members with link arrays:
@@ -187,10 +235,20 @@ object Features {
     * condition.
     */
   def pruneLargestDelta(df: DataFrame, qidCol: String, scoreCol: String): DataFrame = {
+    // the reference short-circuits on the TOTAL per-query instance count —
+    // including null-scored rows — BEFORE dropping Nones (pruner.py:13-14),
+    // and returns those queries unchanged (nulls and all). Queries above
+    // the cutoff then prune over non-null scores only. (A query with > 2
+    // rows but < 2 non-null scores would IndexError in the reference;
+    // here its non-null rows pass through — divergence by necessity.)
+    val counted = df.withColumn("_nall",
+      count(lit(1)).over(Window.partitionBy(qidCol)))
+    val small = counted.where(col("_nall") <= 2).drop("_nall")
     val w = Window.partitionBy(qidCol).orderBy(col(scoreCol).desc)
     val wRange = w.rowsBetween(Window.unboundedPreceding, -1)
     val wPrefix = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.where(col(scoreCol).isNotNull)
+    val big = counted.where(col("_nall") > 2).drop("_nall")
+      .where(col(scoreCol).isNotNull)
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(qidCol)))
       .withColumn("_d", col(scoreCol) - lead(col(scoreCol), 1).over(w))
@@ -201,6 +259,7 @@ object Features {
       .withColumn("_kept", min(col("_ok")).over(wPrefix))
       .where(col("_n") <= 2 || col("_kept") === 1)
       .drop("_rn", "_n", "_d", "_maxprev", "_ok", "_kept")
+    small.unionByName(big)
   }
 
   /** Instance concatenation with stable sequential id reassign
@@ -216,6 +275,29 @@ object Features {
     val w = Window.orderBy((col("_src") +: orderCols.map(col)): _*)
     tagged.withColumn("ins_id", row_number().over(w).cast("long") - 1).drop("_src")
   }
+
+  /** GT → ISF instance conversion (train_set_isf.py:89-122): groundtruth
+    * rows → one instance per (query, interpretation-set id) with
+    * `inter_set` = {entity → mention} and target "1". Rows with set_id
+    * "-1" (the no-interpretation marker) or a null entity never enter a
+    * set; (qid, set_id) groups that end up empty are not emitted —
+    * exactly the reference's `len(iset) > 0` guard. The reference dict
+    * keeps the last mention per entity in arbitrary Python-2.7 iteration
+    * order; here the lexicographically-largest mention is kept so output
+    * is deterministic.
+    */
+  def gtToIsfInstances(gt: DataFrame, qidCol: String = "qid",
+                       setIdCol: String = "set_id", entityCol: String = "entity",
+                       mentionCol: String = "mention"): DataFrame =
+    gt.where(col(setIdCol).isNotNull && col(setIdCol).cast("string") =!= "-1" &&
+        col(entityCol).isNotNull)
+      .groupBy(col(qidCol).as("qid"), col(setIdCol).as("set_id"),
+        col(entityCol).as("entity"))
+      .agg(max(col(mentionCol)).as("mention"))
+      .groupBy("qid", "set_id")
+      .agg(map_from_entries(array_sort(collect_list(struct(
+        col("entity"), col("mention"))))).as("inter_set"))
+      .withColumn("target", lit("1"))
 
   /** Train-set stats (train_set_cer.py:166-220): positives, distinct
     * queries, queries with more than one interpretation set.

@@ -54,7 +54,13 @@ object ConnectedComponents {
       .distinct()
     e = checkpoint(e, -1)
 
-    if (localMaxEdges > 0 && e.count() <= localMaxEdges)
+    // the driver finisher reads ids as strings; non-string ids (valid for
+    // the distributed path, which only needs an ordering) fall through to
+    // the iterative rounds rather than risking a ClassCastException or a
+    // lexicographic-vs-native ordering divergence
+    val stringIds = e.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.StringType)
+    if (localMaxEdges > 0 && stringIds && e.count() <= localMaxEdges)
       return localUnionFind(e)
 
     var fingerprint = (-1L, -1L)

@@ -46,6 +46,12 @@ object Pipeline {
 
   case class StageResult(clusters: DataFrame, droppedBlocks: DataFrame)
 
+  /** Per-stage wall-clock of the most recent non-checkpointed run on this
+    * driver (seconds; reset at run start) — consumed by the bench harness
+    * so BENCH artifacts carry the stage decomposition, not just the total.
+    */
+  val stageTimings = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
   /** Run without checkpointing (tests / small inputs). */
   def run(transcripts: DataFrame, cfg: Config = Config()): StageResult =
     runStages(transcripts, cfg, None)
@@ -101,10 +107,13 @@ object Pipeline {
         // thread-level scaling in a single JVM
         val out = build.localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val sec = (System.nanoTime() - t0) / 1e9
+        stageTimings.put(name, sec)
         if (sys.env.contains("GRAFT_STAGE_TIMING"))
-          println(f"STAGE $name%-14s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          println(f"STAGE $name%-14s $sec%.2f s")
         out
     }
+    stageTimings.clear()
 
     // narrow payload through the pipeline: tokens + a bounded prefix only
     // (the full turns array / doc_text would be cached and shuffled at

@@ -70,4 +70,13 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(hybrid == distributed, s"seed=$seed")
     }
   }
+
+  test("numeric ids under localMaxEdges fall back to distributed rounds (no driver cast crash)") {
+    val df = Seq((3L, 1L), (1L, 2L), (10L, 20L)).toDF("src", "dst")
+    // round 2 threw ClassCastException in the driver finisher (getString on
+    // LongType); now non-string ids skip the finisher and still converge
+    val m = ConnectedComponents.run(df, localMaxEdges = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 20L -> 10L))
+  }
 }

@@ -56,9 +56,12 @@ class FunctionsSpec extends SparkSpec {
     val hashed = df.select(shingle_hashes(tokens($"t"), 2)).as[Seq[Long]].collect()
     val strings = df.select(array_distinct(word_shingles(tokens($"t"), 2)))
       .as[Seq[String]].collect()
-    // same distinct-set sizes (hashing is injective w.h.p. on tiny sets)
+    // same distinct-set sizes (hashing is injective w.h.p. on tiny sets) —
+    // except zero-token docs: string shingles keep the ''-whole-doc
+    // fallback, hash shingles emit the empty set (empty docs must not
+    // share a block key or score jaccard 1.0 against each other)
     hashed.zip(strings).foreach { case (h, s) =>
-      assert(h.size == s.size)
+      if (s == Seq("")) assert(h.isEmpty) else assert(h.size == s.size)
       assert(h.distinct.size == h.size)
     }
     // different seeds → disjoint hash families
@@ -248,5 +251,31 @@ class FunctionsSpec extends SparkSpec {
     val df = Seq(Seq(0.9f, 0.1f), Seq(0.1f, 0.9f), Seq(0.5f, 0.5f), Seq(0.0f, 0.0f))
       .toDF("v").select(nearest_centroid($"v", cents).as("c")).as[Int].collect()
     assert(df.toSeq == Seq(1, 2, 1, 1)) // tie and zero vector both → cell 1
+  }
+
+  test("zero tokens → zero shingle hashes; empty-vs-empty docs score jaccard 0, share no block key") {
+    // punctuation-only docs normalize to zero tokens; they must NOT pair
+    // with each other (round-2 behavior gave them a shared [seed] hash →
+    // token_jaccard 1.0 and a common block key)
+    val df = Seq(("?!;", "..."), ("a b c", "a b c")).toDF("x", "y")
+      .select(shingle_hashes(tokens($"x"), 1).as("hx"),
+        shingle_hashes(tokens($"y"), 1).as("hy"),
+        winnowed_shingle_hashes(tokens($"x"), 3, 4).as("wx"),
+        minhash_band_keys(tokens($"x"), 2, 16, 4).as("bx"))
+    val rows = df.select(size($"hx"), size($"hy"), size($"wx"), size($"bx"),
+      token_jaccard($"hx", $"hy")).as[(Int, Int, Int, Int, Double)].collect()
+    assert(rows(0) == ((0, 0, 0, 0, 0.0)))
+    assert(rows(1)._1 == 3 && rows(1)._5 == 1.0)
+  }
+
+  test("percent_decode is lenient on malformed escapes (Python unquote never raises, indexer.py:29)") {
+    val out = Seq("a%2Fb%20c", "100% sure", "%zz", "<dbpedia:New_York>")
+      .toDF("t").select(percent_decode($"t")).as[String].collect()
+    assert(out(0) == "a/b c")       // valid escapes decode
+    assert(out(1) == "100% sure")   // stray '%' passes through, no exception
+    assert(out(2) == "%zz")
+    val name = Seq("<dbpedia:100%_club>").toDF("t")
+      .select(uri_to_name($"t")).as[String].head()
+    assert(name == "100% club")     // malformed escape inside a URI survives
   }
 }

@@ -155,6 +155,15 @@ class OperatorsSpec extends SparkSpec {
     val recall = (bf & ivf).size.toDouble / bf.size
     info(s"IVF recall vs brute force: $recall")
     assert(recall >= 0.8, s"recall $recall")
+
+    // trained codebook (2 Lloyd rounds): centroids move onto the true
+    // cluster centers, so recall tightens on the same probe budget
+    val trained = SimilaritySearch.ivfTopKTrained(queries, emb, 3, 6, 3, 2)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recallTrained = (bf & trained).size.toDouble / bf.size
+    info(s"trained-IVF recall vs brute force: $recallTrained")
+    assert(recallTrained >= 0.9, s"trained recall $recallTrained")
+    assert(recallTrained >= recall, "training must not lose recall here")
   }
 
   test("TextAnalysis.langId picks the dominant stopword language") {

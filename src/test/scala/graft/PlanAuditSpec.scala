@@ -68,6 +68,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"assignment must not fan out through a join:\n$plan")
   }
 
+  test("ANN top-k reduces via bounded partial aggregate — no per-query window") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = graft.operators.SimilaritySearch.bruteForceTopK(
+      emb.where(col("vec_id") < 5), emb, 5)
+    val plan = q.queryExecution.executedPlan.toString
+    // a Window here means corpus×|q| scored rows funnel into one task per
+    // query; the aggregate form reduces to ≤ k entries per partition first
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+  }
+
+  test("q37 derives candidate pairs from co-occurrence, never a cross join") {
+    val q = SparkEntry.queries("q37_facc_features")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("native minhash blocking plan: scan → project → generate, single pass") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id").cast("string").as("conv_id"),
