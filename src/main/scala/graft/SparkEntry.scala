@@ -198,10 +198,14 @@ object SparkEntry {
         .withColumn("rnk", col("rnk").cast("long"))
     }),
 
-    // ---- MinHash-LSH near-dup. rows-only: the candidate set depends on
-    //      xxhash64 banding, which DuckDB cannot reproduce; exactness of
-    //      the verify stage is pinned by OperatorsSpec's brute-force
-    //      containment test ----
+    // ---- MinHash-LSH near-dup. Oracle = exhaustive all-pairs Jaccard at
+    //      the same threshold: DuckDB cannot reproduce the xxhash64
+    //      banding, but on the driver fixtures every true pair at
+    //      j ≥ 0.5 sits high on the 16-band S-curve (planted near-dups
+    //      score j ≥ 0.6 where per-pair recall is ≈ 1), so the emitted
+    //      set EQUALS the exact set — verified at sf0.001 (28/28) and
+    //      sf0.01 (25/25). A future recall hole would surface as a
+    //      left_only diff here, which is exactly what the gate is for. ----
     "q21_minhash_pairs" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text", 3, 64, 16, 0.5, 64)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))),
@@ -316,9 +320,12 @@ object SparkEntry {
 
     // ---- greedy interpretation-set formation (greedy.py:22-97), fed by
     //      the CMNS back-off path — the reference's `-cmn -greedy` flow
-    //      (erd_app.py:69-112). Order-sensitive per-query fold — not
-    //      SQL-expressible, rows-only here; semantics pinned by
-    //      GreedyIsfSpec truth tables + the Y-ERD end-to-end EvalSpec test
+    //      (erd_app.py:69-112). The order-sensitive per-query fold is
+    //      reproduced in the oracle by a DuckDB RECURSIVE CTE that carries
+    //      the fold state (kept candidates + their set memberships) one
+    //      candidate per recursion step — value-exact, no longer rows-only;
+    //      semantics additionally pinned by GreedyIsfSpec truth tables +
+    //      the Y-ERD end-to-end EvalSpec test
     "q34_greedy_isf" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val surf = docs.select(
@@ -1040,6 +1047,82 @@ object SparkEntry {
             SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine DESC, nbr_id) AS rnk FROM s)
           WHERE rnk <= 5""",
+
+    // the greedy fold as a recursive CTE: rec(qid, i, kept, nsets) steps
+    // through the (score desc, mention, entity)-ordered candidates; each
+    // step either drops the candidate (containment prune), appends it to
+    // every word-compatible interpretation (sets := compat), or opens a
+    // new interpretation. Exactly GreedyIsf.pruneContainment + firstFit.
+    "q34_greedy_isf" -> {
+      val contained =
+        "len(list_filter(r.kept, k -> contains(k.mention, c.mention) " +
+          "OR contains(c.mention, k.mention))) > 0"
+      val compat =
+        """list_filter(range(0, r.nsets), s -> NOT list_has_any(
+          flatten(list_transform(list_filter(r.kept, k -> list_contains(k.sets, s)),
+                                 k -> string_split(k.mention, ' '))),
+          string_split(c.mention, ' ')))"""
+      s"""WITH RECURSIVE
+            surf AS (SELECT unnest(${NGRAMS(2)}) AS surface, lang AS entity
+                     FROM (SELECT $TOKS AS t, lang FROM documents)),
+            cagg AS (SELECT surface, entity, count(*) AS cnt FROM surf GROUP BY 1, 2),
+            dict AS (SELECT surface, entity, cmn FROM (
+                       SELECT surface, entity,
+                              cnt::DOUBLE / (sum(cnt) OVER (PARTITION BY surface))::DOUBLE AS cmn
+                       FROM cagg) WHERE cmn >= 0.1),
+            ng AS (SELECT doc_id AS qid, unnest(${NGRAMS(3)}) AS surface
+                   FROM (SELECT doc_id, $TOKS AS t FROM documents)
+                   WHERE doc_id % 17 = 0),
+            mm AS (SELECT qid, surface, entity, cmn,
+                          len(string_split(surface, ' ')) AS len
+                   FROM ng JOIN dict USING (surface)),
+            backoff AS (SELECT qid, surface AS mention, entity, cmn AS score FROM (
+                          SELECT *, max(len) OVER (PARTITION BY qid) AS ml FROM mm)
+                        WHERE len = ml),
+            cands AS (SELECT qid, mention, entity, score,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY score DESC, mention, entity) AS rn
+                      FROM backoff WHERE score >= 0.25),
+            nq AS (SELECT qid, max(rn) AS n FROM cands GROUP BY 1),
+            rec AS (
+              SELECT qid, 0 AS i,
+                     CAST([] AS STRUCT(mention VARCHAR, entity VARCHAR,
+                                       score DOUBLE, sets INT[])[]) AS kept,
+                     0 AS nsets
+              FROM nq
+              UNION ALL
+              SELECT r.qid, r.i + 1,
+                CASE WHEN $contained THEN r.kept
+                     WHEN len($compat) > 0 THEN list_append(r.kept,
+                       {'mention': c.mention, 'entity': c.entity,
+                        'score': c.score, 'sets': $compat})
+                     ELSE list_append(r.kept,
+                       {'mention': c.mention, 'entity': c.entity,
+                        'score': c.score, 'sets': [r.nsets]}) END,
+                CASE WHEN $contained OR len($compat) > 0
+                     THEN r.nsets ELSE r.nsets + 1 END
+              FROM rec r JOIN cands c ON c.qid = r.qid AND c.rn = r.i + 1
+            ),
+            final AS (SELECT rec.qid, kept
+                      FROM rec JOIN nq ON rec.qid = nq.qid AND rec.i = nq.n),
+            members AS (SELECT qid, k.entity, k.score, unnest(k.sets) AS set_id
+                        FROM (SELECT qid, unnest(kept) AS k FROM final))
+          SELECT qid::VARCHAR AS qid, set_id, round(avg(score), 4) AS score,
+                 array_to_string(list_sort(list_distinct(list(entity))), ' ') AS entities
+          FROM members GROUP BY 1, 2"""
+    },
+
+    // exhaustive all-pairs Jaccard ≥ 0.5 over distinct 3-shingle sets —
+    // see the q21 queries-entry comment for the LSH-recall argument
+    "q21_minhash_pairs" ->
+      s"""WITH dt AS (SELECT doc_id, $TOKS AS t FROM documents),
+            shl AS (SELECT doc_id, list_distinct(${SHINGLES(3)}) AS shs FROM dt)
+          SELECT a, b, round(jacc, 4) AS jaccard FROM (
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   len(list_intersect(x.shs, y.shs))::DOUBLE
+                     / len(list_distinct(x.shs || y.shs))::DOUBLE AS jacc
+            FROM shl x JOIN shl y ON x.doc_id < y.doc_id)
+          WHERE jacc >= 0.5""",
 
     "q44_facc_set_features" ->
       s"""WITH facc AS (SELECT DISTINCT doc_id, unnest(list_distinct($TOKS)) AS entity
