@@ -515,6 +515,25 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       SimilaritySearch.ivfTopKTrained(emb.where(col("vec_id") < 20), emb, 5, 16, 4, 2)
         .withColumn("rnk", col("rnk").cast("long"))
+    }),
+
+    // ---- LTR feature-vector assembly (ranker_ltr.py:157-190 dictionary
+    //      slice + gen_cv_set labeling, train_set_cer.py:92-119) over a
+    //      gt-shaped frame derived from the documents table ----
+    "q47_ltr_features" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tok = toks(col("text"))
+      val gt = docs.select(
+        concat(col("lang"), lit("_"), col("doc_id")).as("qid"),
+        col("text").as("query"),
+        array_join(slice(tok, 1, 2), " ").as("mention"),
+        element_at(tok, 1).as("freebase_id"))
+      graft.ml.Ltr.yerdCvInstances(gt, 0.1, 8)
+        .select(col("qid"), col("mention"), col("entity"), col("label"),
+          round(col("cmn"), 4).as("cmn"), col("len"),
+          round(col("len_ratio"), 4).as("len_ratio"),
+          col("matches"), col("ntem"), col("smil"), col("mct"), col("tcm"),
+          col("tem"), col("qct"), col("tcq"), col("teq"))
     })
   )
 
@@ -1226,6 +1245,69 @@ object SparkEntry {
                         ORDER BY cosine DESC, nbr_id) AS rnk FROM s)
           WHERE rnk <= 5"""
     },
+
+    // q47: the yerdCvInstances feature assembly replicated over the
+    // documents-derived gt frame (mention = first bigram, entity = first
+    // token → titles are the tokens themselves, uri_to_name passthrough)
+    "q47_ltr_features" ->
+      s"""WITH base AS (SELECT doc_id, lang, $TOKS AS t, $NORM AS ntext FROM documents),
+            gt AS (SELECT lang || '_' || doc_id AS qid, ntext AS qtext,
+                          array_to_string(t[1:2], ' ') AS mention, t[1] AS entity
+                   FROM base WHERE len(t) > 0),
+            counts AS (SELECT mention AS surface, entity, count(*) AS cnt
+                       FROM gt GROUP BY 1, 2),
+            dict AS (SELECT surface, entity, cmn FROM (
+                       SELECT surface, entity,
+                              cnt::DOUBLE / (sum(cnt) OVER (PARTITION BY surface))::DOUBLE AS cmn
+                       FROM counts) WHERE cmn >= 0.1),
+            titles AS (SELECT entity, min(entity) AS title FROM gt GROUP BY 1),
+            q AS (SELECT DISTINCT qid, qtext FROM gt),
+            men AS (SELECT DISTINCT qid, qtext, unnest(
+                      flatten([[array_to_string(qt[i:i+n-1], ' ')
+                        for i in range(1, len(qt)-n+2)]
+                        for n in range(1, least(8, len(qt))+1)])) AS mention
+                    FROM (SELECT qid, qtext, string_split(qtext, ' ') AS qt FROM q)),
+            pm AS (SELECT surface AS mention, count(*) AS matches FROM dict GROUP BY 1),
+            nt AS (SELECT qid, mention, count(*) AS ntem
+                   FROM men JOIN titles ON mention = title GROUP BY 1, 2),
+            sm AS (SELECT qid, mention, count(*) AS smil FROM
+                    (SELECT qid, mention,
+                            unnest(flatten([[array_to_string(mt[i:i+n-1], ' ')
+                              for i in range(1, len(mt)-n+2)]
+                              for n in range(1, least(8, len(mt))+1)])) AS ng
+                     FROM (SELECT DISTINCT qid, mention,
+                             string_split(mention, ' ') AS mt FROM men))
+                   JOIN titles ON ng = title GROUP BY 1, 2),
+            pos AS (SELECT DISTINCT qid, entity FROM gt)
+          SELECT men.qid, men.mention, dict.entity,
+                 CASE WHEN pos.entity IS NOT NULL THEN 1.0 ELSE 0.0 END AS label,
+                 round(dict.cmn, 4) AS cmn,
+                 len(string_split(men.mention, ' '))::DOUBLE AS len,
+                 round(len(string_split(men.mention, ' '))::DOUBLE
+                   / len(string_split(men.qtext, ' '))::DOUBLE, 4) AS len_ratio,
+                 coalesce(pm.matches, 0)::DOUBLE AS matches,
+                 coalesce(nt.ntem, 0)::DOUBLE AS ntem,
+                 coalesce(sm.smil, 0)::DOUBLE AS smil,
+                 (CASE WHEN coalesce(title, '') <> ''
+                       AND contains(men.mention, coalesce(title, ''))
+                       THEN 1 ELSE 0 END)::DOUBLE AS mct,
+                 (CASE WHEN contains(coalesce(title, ''), men.mention)
+                       THEN 1 ELSE 0 END)::DOUBLE AS tcm,
+                 (CASE WHEN coalesce(title, '') = men.mention
+                       THEN 1 ELSE 0 END)::DOUBLE AS tem,
+                 (CASE WHEN coalesce(title, '') <> ''
+                       AND contains(men.qtext, coalesce(title, ''))
+                       THEN 1 ELSE 0 END)::DOUBLE AS qct,
+                 (CASE WHEN contains(coalesce(title, ''), men.qtext)
+                       THEN 1 ELSE 0 END)::DOUBLE AS tcq,
+                 (CASE WHEN coalesce(title, '') = men.qtext
+                       THEN 1 ELSE 0 END)::DOUBLE AS teq
+          FROM men JOIN dict ON dict.surface = men.mention
+                   LEFT JOIN titles ON titles.entity = dict.entity
+                   LEFT JOIN pm ON pm.mention = men.mention
+                   LEFT JOIN nt ON nt.qid = men.qid AND nt.mention = men.mention
+                   LEFT JOIN sm ON sm.qid = men.qid AND sm.mention = men.mention
+                   LEFT JOIN pos ON pos.qid = men.qid AND pos.entity = dict.entity""",
 
     // q28: the pipeline input is self-generated (TranscriptGen nBase=50,
     // dupsPerBase=2 — independent of the sf dir) and fully deterministic;
