@@ -94,7 +94,8 @@ object Bench {
           .config("spark.jars", jar)
           .config("spark.local.dir", localDir)
           // 4 waves at the 4N config; identical at both levels (fairness)
-          .config("spark.sql.shuffle.partitions", "64")
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"))
           .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")

@@ -17,10 +17,17 @@ import graft.pipeline.{Pipeline, TranscriptGen}
   */
 object BenchPipeline {
 
-  /** Stage deterministic transcripts to parquet; returns the reader. */
+  /** Stage deterministic transcripts to parquet; returns the reader.
+    * Written as 64 files regardless of generator parallelism: the
+    * generator inherits defaultParallelism (4 files at local-cluster[2,2]),
+    * and a 4-file table caps the scan+assemble stage at 4 read tasks — the
+    * round-2 "docs stage only speeds up 1.4×" finding was input-layout,
+    * not compute. 64 files give both cluster sizes full scan fan-out.
+    */
   private[graft] def stageInput(spark: SparkSession, n: Long): DataFrame = {
     val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-bench-input-$n"
     TranscriptGen.transcripts(spark, n, dupsPerBase = 2)
+      .repartition(64)
       .write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
   }
@@ -55,8 +62,10 @@ object BenchPipeline {
     val spark = SparkSession.builder().master(sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]"))
       // 64 = 4 waves on the 16-core config (vs 2 at 32, where one straggler
       // idles half the cores); identical at every parallelism level so the
-      // N-vs-4N comparison only varies compute
-      .config("spark.sql.shuffle.partitions", "64")
+      // N-vs-4N comparison only varies compute. Minutes-scale runs override
+      // upward (more waves amortize stragglers once tasks are seconds-long).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"))
       // the CC singleton-attach join broadcasts the assignment (10-50 MB
       // at bench scale); the 10 MB default silently degrades it to a
       // sort-merge shuffle of every doc

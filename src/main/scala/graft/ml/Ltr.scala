@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier, RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{Column, DataFrame}
@@ -79,12 +79,33 @@ object Ltr {
       .fit(assembler(cols).transform(train))
   }
 
+  /** GBRT train — the reference's other model family (ml.py:88-103:
+    * learning rate α, t trees, depth ≈ |features|/10). MLlib's GBT is a
+    * binary classifier with logistic loss — the closest analog of
+    * sklearn's GradientBoostingClassifier.
+    */
+  case class GbtConfig(numTrees: Int = 1000, alpha: Double = 0.1,
+                       maxDepth: Int = 2, seed: Long = 42L)
+
+  def trainGbt(train: DataFrame, featureCols: Seq[String], labelCol: String,
+               cfg: GbtConfig = GbtConfig()): GBTClassificationModel =
+    new GBTClassifier()
+      .setMaxIter(cfg.numTrees)
+      .setStepSize(cfg.alpha)
+      .setMaxDepth(cfg.maxDepth)
+      .setSeed(cfg.seed)
+      .setLabelCol(labelCol)
+      .setFeaturesCol("features")
+      .fit(assembler(featureCols.sorted).transform(train))
+
   /** Apply a trained model: `score` = P(class 1) (ml.py:189-193
     * predict_proba[0][1]). Input columns ride through unchanged.
+    * Accepts either family (both expose a probability vector).
     */
-  def applyRf(model: RandomForestClassificationModel, df: DataFrame,
-              featureCols: Seq[String]): DataFrame =
-    model.transform(assembler(featureCols.sorted).transform(df))
+  def applyRf(model: org.apache.spark.ml.Model[_] with org.apache.spark.ml.param.shared.HasFeaturesCol,
+              df: DataFrame, featureCols: Seq[String]): DataFrame =
+    model.asInstanceOf[org.apache.spark.ml.Transformer]
+      .transform(assembler(featureCols.sorted).transform(df))
       .withColumn("score", vector_to_array(col("probability"))(1))
       .drop("features", "rawPrediction", "probability", "prediction")
 

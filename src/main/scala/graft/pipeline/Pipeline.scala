@@ -137,13 +137,27 @@ object Pipeline {
 
     val (pairsDf, droppedDf) = Blocking.pairsFromBlocks(blocks, cfg.maxBlockSize)
     val pairs = stage("pairs")(pairsDf)
-    val dropped = stage("dropped_blocks")(droppedDf)
+    // dropped-blocks audit: a real snapshot table under TableIO (the
+    // documented no-silent-caps artifact); in-memory runs keep it lazy —
+    // materializing it eagerly added a whole scheduling barrier + job to
+    // every run whether or not the caller reads the drop metrics
+    val dropped = io match {
+      case Some(_) => stage("dropped_blocks")(droppedDf)
+      case None => droppedDf
+    }
 
     val scored = stage("scored")(
       Scoring.scorePairs(pairs, docs, cfg.weights, cfg.prefixChars, cfg.levMaxDist))
-    val edges = stage("edges")(
-      Scoring.matchedPairs(scored, cfg.scoreThreshold)
-        .select(col("conv_a").as("src"), col("conv_b").as("dst")))
+    // edges is a filter+project over the already-materialized scored stage
+    // — its own eager checkpoint was a pure extra pass; CC's first
+    // distinct materializes it in the same job (TableIO keeps the snapshot
+    // for resume)
+    val edgesDf = Scoring.matchedPairs(scored, cfg.scoreThreshold)
+      .select(col("conv_a").as("src"), col("conv_b").as("dst"))
+    val edges = io match {
+      case Some(_) => stage("edges")(edgesDf)
+      case None => edgesDf
+    }
 
     val clusters = stage("clusters") {
       val checkpointFn: (DataFrame, Int) => DataFrame = io match {

@@ -53,6 +53,15 @@ class LtrSpec extends SparkSpec {
     val model = Ltr.trainRf(df, Seq("f1", "f2"), "label", cfg)
     val imps = Ltr.featureImportances(model, Seq("f1", "f2")).toMap
     assert(imps("f1") > imps("f2"))
+
+    // GBRT family (ml.py:88-103): same separable signal, same score shape
+    val gbt = Ltr.trainGbt(df, Seq("f1", "f2"), "label",
+      Ltr.GbtConfig(numTrees = 30, maxDepth = 2))
+    val gs = Ltr.applyRf(gbt, df, Seq("f1", "f2"))
+      .select("label", "score").as[(Double, Double)].collect()
+    val gPos = gs.filter(_._1 == 1.0).map(_._2).sum / 200
+    val gNeg = gs.filter(_._1 == 0.0).map(_._2).sum / 200
+    assert(gPos > 0.8 && gNeg < 0.2, s"gbt pos=$gPos neg=$gNeg")
   }
 
   test("Y-ERD LTR end-to-end: 5-fold session CV, TREC run, MAP in band of the reference LTR row") {
