@@ -121,7 +121,16 @@ object ConnectedComponents {
     val out = new scala.collection.mutable.ArrayBuffer[(String, String)](parent.size())
     parent.keySet().forEach(k => out += ((k, find(k))))
     import spark.implicits._
-    out.toSeq.toDF("conv_id", "cluster_id")
+    // small assignments ride back as a LocalRelation (size stats known →
+    // the singleton-attach join can broadcast); past ~1M nodes a
+    // LocalRelation is a plan-embedded monster serialized with every task,
+    // so ship the rows once through parallelize instead (the attach join
+    // then shuffles — correct at that size)
+    if (out.size <= 1000000) out.toSeq.toDF("conv_id", "cluster_id")
+    else spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq,
+        math.max(spark.sparkContext.defaultParallelism, 8)))
+      .toDF("conv_id", "cluster_id")
   }
 
   /** large-star: each node u links its larger neighbors to the minimum of

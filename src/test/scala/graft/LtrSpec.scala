@@ -1,8 +1,8 @@
 package graft
 
 import graft.ml.Ltr
-import graft.eval.TrecEval
-import graft.operators.ReferenceOps
+import graft.eval.{StrictEval, TrecEval}
+import graft.operators.{GreedyIsf, ReferenceOps}
 import graft.sources.Readers
 import org.apache.spark.sql.functions._
 
@@ -97,5 +97,20 @@ class LtrSpec extends SparkSpec {
     assert(r.map <= 1.0)
     assert(r.map > cmnsMap, f"LTR ${r.map}%.4f did not beat CMNS $cmnsMap%.4f")
     assert(r.nQueries > 1000)
+
+    // --- LTR + Greedy: the reference's BEST published configuration
+    // (erd_app.py -ltr -greedy, th=0.3 — BASELINE.md row 6: strict F1
+    // 0.7867 on Y-ERD). CV scores feed the greedy interpretation builder,
+    // the erdeval sink, and the strict set-equality evaluator.
+    val members = GreedyIsf.interpretations(
+      cv.select(col("qid"), col("mention"), col("entity"), col("score")), 0.3)
+    val dir2 = java.nio.file.Files.createTempDirectory("ltrgreedy").toString
+    Readers.writeErdEval(members.toDF(), s"$dir2/run")
+    val strict = StrictEval.evaluate(spark,
+      "/root/reference/qrels/Y-ERD_elq.qrels", s"$dir2/run")
+    info(f"Y-ERD LTR+Greedy strict: P=${strict.precision}%.4f R=${strict.recall}%.4f " +
+      f"F1=${strict.f1}%.4f (reference LTR+Greedy row 0.7867)")
+    assert(strict.f1 >= 0.7867 - 0.05, f"strict F1 ${strict.f1}%.4f below band")
+    assert(strict.nQueries > 1000)
   }
 }
