@@ -19,6 +19,11 @@ object Bench {
       // constant across parallelism levels: partitioning is data layout,
       // not a resource knob — the N vs 4N comparison must only vary cores
       .config("spark.sql.shuffle.partitions", "32")
+      // same anti-quantization sizing as the cluster block, for the
+      // local[N] thread-scaling compare (see clusterScaling)
+      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        (4 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       // blocking collect_set states are cap-bounded → hash agg, not the
@@ -96,6 +101,20 @@ object Bench {
           // 4 waves at the 4N config; identical at both levels (fairness)
           .config("spark.sql.shuffle.partitions",
             sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"))
+          // anti-quantization pair (see BenchPipeline): fine scan splits +
+          // small AQE advisory size keep map AND reduce task counts well
+          // above the 4N core count — without them the 64-file stage input
+          // bin-packs to ~9 map partitions and AQE coalesces reduces to
+          // ~16, so the 4N config runs ~1 wave of fat tasks and idles half
+          // its cores on the straggler tail. 4 MB here (vs 16 MB for the
+          // minutes-scale BenchPipeline runs) because the driver-default
+          // input is ~8× smaller — the point is matching the ≥4-waves task
+          // structure a production-sized stage gets from the DEFAULT 64 MB
+          // target, scaled to the proxy's stage sizes. Identical at both
+          // levels (fairness).
+          .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+          .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            (4 * 1024 * 1024).toString)
           .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")

@@ -66,6 +66,19 @@ object BenchPipeline {
       // upward (more waves amortize stragglers once tasks are seconds-long).
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"))
+      // Partition-count quantization killed measured scaling before these
+      // two (event-log analysis, round 3): the scan bin-packed the 64
+      // staged files into ~9 partitions — localCheckpoint freezes that
+      // count, so every cached-stage consumer ran ≤18 map tasks (1.1
+      // waves at 16 cores, half the cluster idle) — and AQE's default
+      // 64 MB advisory target coalesced the 256-partition reduces to
+      // ~15-18 fat tasks. 16 MB on both knobs keeps second-scale stages
+      // at 60-256 tasks (≥4 waves at 16 cores) — the wave count a
+      // production minutes-scale stage gets from the SAME defaults.
+      // Identical at every parallelism level (fairness).
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        (16 * 1024 * 1024).toString)
       // the CC singleton-attach join broadcasts the assignment (10-50 MB
       // at bench scale); the 10 MB default silently degrades it to a
       // sort-merge shuffle of every doc

@@ -264,16 +264,29 @@ object Features {
 
   /** Instance concatenation with stable sequential id reassign
     * (ml/instances.py:268-283): frames appended in order, ids 0..n−1 in
-    * (frame, original-order) sequence. A global row_number — this is an
-    * eval/train-set utility over instance-sized data, not a data-scale
-    * operator (the reference materializes the same thing in one dict).
+    * (frame, original-order) sequence. Dense global sequential ids are
+    * not expressible declaratively without an unpartitioned Window (all
+    * rows through one task), so this sorts distributed (range exchange +
+    * in-partition sort) and assigns ids with `zipWithIndex` — one extra
+    * count-per-partition job, no single-task stage. Ids are deterministic
+    * whenever (frame, orderCols) is a total order, same contract as the
+    * reference's dict rebuild.
     */
   def concatInstances(frames: Seq[DataFrame], orderCols: Seq[String]): DataFrame = {
     val tagged = frames.zipWithIndex.map { case (f, i) =>
       f.withColumn("_src", lit(i))
     }.reduce(_ unionByName _)
-    val w = Window.orderBy((col("_src") +: orderCols.map(col)): _*)
-    tagged.withColumn("ins_id", row_number().over(w).cast("long") - 1).drop("_src")
+    val sortCols = col("_src") +: orderCols.map(col)
+    val sorted = tagged.sort(sortCols: _*)
+    val spark = sorted.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("ins_id",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val withId = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(withId, schema).drop("_src")
   }
 
   /** GT → ISF instance conversion (train_set_isf.py:89-122): groundtruth

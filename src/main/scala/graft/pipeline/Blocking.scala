@@ -97,11 +97,36 @@ object Blocking {
     * conv_a < conv_b canonicalizes (members sorted before enumeration).
     */
   def pairsFromBlocks(blocks: DataFrame, maxBlockSize: Int): (DataFrame, DataFrame) = {
-    // hot keys are identified from a light count aggregate (map-side
-    // partial agg → tiny shuffle of (key, long)) and removed via a
-    // broadcast anti-join BEFORE collecting members — collect_set on an
-    // unbounded hot key would buffer millions of ids in one aggregation
-    // state at 100 TB
+    val longIds = blocks.schema("conv_id").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (longIds) {
+      // ONE-pass path (long ids — the pipeline's hid keys): a bounded
+      // distinct-collect keeps at most cap+1 members per key, so a block
+      // that reaches cap+1 is known oversize without ever buffering a
+      // 100-TB hot key's full membership — the same state bound the old
+      // count-first protocol guaranteed, minus a full pass over the block
+      // table and a broadcast barrier. Oversize blocks report block_size
+      // = cap+1 as a LOWER BOUND (the drop audit needs the key, not the
+      // exact hot-key cardinality).
+      val agged = blocks.groupBy("block_key")
+        .agg(graft.functions.BoundedCollectSet
+          .bounded(maxBlockSize + 1, col("conv_id").cast("long")).as("members"))
+      val kept = agged.where(size(col("members")).between(2, maxBlockSize))
+      val dropped = agged.where(size(col("members")) > maxBlockSize)
+        .select(col("block_key"),
+          size(col("members")).cast("long").as("block_size"))
+      val pairs = kept
+        .select(explode(pair_combos(col("members"))).as("p"))
+        .groupBy(col("p.conv_a").as("conv_a"), col("p.conv_b").as("conv_b"))
+        .agg(count(lit(1)).as("n_blocks"))
+      return (pairs, dropped)
+    }
+    // generic-id path (string ids — the standalone dedup operators and the
+    // oracle-checked q11/q12 demos): hot keys are identified from a light
+    // count aggregate (map-side partial agg → tiny shuffle of (key, long))
+    // and removed via a broadcast anti-join BEFORE collecting members —
+    // collect_set on an unbounded hot key would buffer millions of ids in
+    // one aggregation state at 100 TB
     // lazy-checkpointed: the hot-key set is consumed twice (anti-join
     // broadcast here, metrics materialization in the pipeline) and the
     // count aggregate it derives from is a full pass over the block table —

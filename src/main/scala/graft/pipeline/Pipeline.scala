@@ -65,9 +65,15 @@ object Pipeline {
     * must fail loudly, not silently serve stale clusters. The fingerprint
     * is stored as a one-row table in the same snapshot layout.
     */
+  /** Bumped whenever a stage's snapshot SCHEMA changes (v2: docs carry the
+    * hid pair-key column) so resume against snapshots written by an older
+    * layout fails loudly at the fingerprint check, not mid-plan.
+    */
+  private val SnapshotLayoutVersion = 2
+
   private def validateConfigFingerprint(t: TableIO, cfg: Config,
                                         spark: org.apache.spark.sql.SparkSession): Unit = {
-    val fp = cfg.toString
+    val fp = s"v$SnapshotLayoutVersion:$cfg"
     if (t.exists("config_fingerprint")) {
       val stored = t.read("config_fingerprint").head.getString(0)
       require(stored == fp,
@@ -118,19 +124,26 @@ object Pipeline {
     // narrow payload through the pipeline: tokens + a bounded prefix only
     // (the full turns array / doc_text would be cached and shuffled at
     // every stage; at 10^12 turns that's the difference between shuffling
-    // terabytes and shuffling the whole lake)
+    // terabytes and shuffling the whole lake). `hid` = 64-bit hash of
+    // conv_id: blocking and pair-dedup shuffle this fixed-width key
+    // instead of the id string (the two heaviest exchanges become 16-byte
+    // rows with primitive agg keys); scoring's doc-feature join restores
+    // the true strings, and a hid collision only fans that join out into
+    // extra exactly-verified candidates (see Scoring.scorePairs).
     val docs = stage("docs")(
       DocAssembly.assemble(transcripts).select(
         col("conv_id"), col("tokens"),
-        substring(col("norm_text"), 1, cfg.prefixChars).as("prefix")))
+        substring(col("norm_text"), 1, cfg.prefixChars).as("prefix"),
+        xxhash64(col("conv_id")).as("hid")))
 
+    val blockInput = docs.select(col("hid").as("conv_id"), col("tokens"))
     val blocks = stage("blocks") {
       cfg.blocking match {
-        case ExactBlocking => Blocking.exactShingleBlocks(docs, cfg.shingleK)
+        case ExactBlocking => Blocking.exactShingleBlocks(blockInput, cfg.shingleK)
         case LshBlocking =>
-          Blocking.minhashLshBlocks(docs, cfg.lshShingleK, cfg.numHashes, cfg.bands)
+          Blocking.minhashLshBlocks(blockInput, cfg.lshShingleK, cfg.numHashes, cfg.bands)
         case HybridBlocking =>
-          Blocking.hybridBlocks(docs, cfg.shingleK, cfg.lshShingleK,
+          Blocking.hybridBlocks(blockInput, cfg.shingleK, cfg.lshShingleK,
             cfg.numHashes, cfg.bands, cfg.winnowWindow)
       }
     }
@@ -147,7 +160,8 @@ object Pipeline {
     }
 
     val scored = stage("scored")(
-      Scoring.scorePairs(pairs, docs, cfg.weights, cfg.prefixChars, cfg.levMaxDist))
+      Scoring.scorePairs(pairs, docs, cfg.weights, cfg.prefixChars, cfg.levMaxDist,
+        pairIdCol = "hid"))
     // edges is a filter+project over the already-materialized scored stage
     // — its own eager checkpoint was a pure extra pass; CC's first
     // distinct materializes it in the same job (TableIO keeps the snapshot

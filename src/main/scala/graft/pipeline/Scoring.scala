@@ -27,9 +27,22 @@ object Scoring {
 
   /** pairs(conv_a, conv_b, ...) × docs(conv_id, tokens[, prefix]) →
     * scored(conv_a, conv_b, jaccard, jw, lev_sim, score)
+    *
+    * `pairIdCol`: name of the docs column whose VALUES the pair ids refer
+    * to. Default "conv_id" (pairs carry the document ids themselves). The
+    * pipeline passes "hid" — a 64-bit hash of conv_id that blocking and
+    * pair-dedup shuffle instead of id strings (16-byte fixed rows and
+    * primitive agg keys through the two heaviest exchanges). The output
+    * always carries the true string conv_a/conv_b: the doc-feature join
+    * this stage already does restores them for free. A hid collision makes
+    * the join fan out — the colliding pair becomes extra VERIFIED
+    * candidates (scored by the exact kernels, dropped unless truly
+    * similar), so compaction can only add recall-noise that scoring
+    * filters, never lose a pair.
     */
   def scorePairs(pairs: DataFrame, docs: DataFrame, w: Weights = Weights(),
-                 prefixChars: Int = 256, levMaxDist: Int = 128): DataFrame = {
+                 prefixChars: Int = 256, levMaxDist: Int = 128,
+                 pairIdCol: String = "conv_id"): DataFrame = {
     val prefixCol =
       if (docs.columns.contains("prefix")) col("prefix")
       else substring(col("norm_text"), 1, prefixChars)
@@ -39,13 +52,14 @@ object Scoring {
     // measured 182 s → (see BENCH) on 733k pairs at local-cluster[1,4].
     // Collision risk per pair ≈ |toks|²/2⁶⁵ — immaterial to a ratio.
     val feat = docs.select(
-      col("conv_id"),
+      col(pairIdCol).as("k"),
+      col("conv_id").as("id"),
       shingle_hashes(col("tokens"), 1).as("tok_set"),
       prefixCol.as("prefix"))
 
-    val a = feat.select(col("conv_id").as("conv_a"),
+    val a = feat.select(col("k").as("conv_a"), col("id").as("id_a"),
       col("tok_set").as("tok_a"), col("prefix").as("pref_a"))
-    val b = feat.select(col("conv_id").as("conv_b"),
+    val b = feat.select(col("k").as("conv_b"), col("id").as("id_b"),
       col("tok_set").as("tok_b"), col("prefix").as("pref_b"))
 
     val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
@@ -65,7 +79,8 @@ object Scoring {
       .withColumn("score",
         lit(w.jaccard) * col("jaccard") + lit(w.jaroWinkler) * col("jw") +
           lit(w.levenshtein) * col("lev_sim"))
-      .select("conv_a", "conv_b", "jaccard", "jw", "lev_sim", "score")
+      .select(col("id_a").as("conv_a"), col("id_b").as("conv_b"),
+        col("jaccard"), col("jw"), col("lev_sim"), col("score"))
   }
 
   /** Threshold prune — the reference's commonness/score threshold pushdown

@@ -61,6 +61,35 @@ class PipelineSpec extends SparkSpec {
     assert(maxPairKey > 0)
   }
 
+  test("fused long-id pair path ≡ generic path (pairs equal, drops detected, state bounded)") {
+    // same block table under both id types: long ids take the one-pass
+    // bounded-collect plan, string ids the count+anti-join plan — pair
+    // sets must be identical and every dropped key must appear in both
+    val strBlocks = Blocking.exactShingleBlocks(DocAssembly.assemble(t), 1)
+    val longBlocks = strBlocks.select(col("block_key"),
+      xxhash64(col("conv_id")).as("conv_id"))
+    val (pGen, dGen) = Blocking.pairsFromBlocks(strBlocks, maxBlockSize = 10)
+    val (pFus, dFus) = Blocking.pairsFromBlocks(longBlocks, maxBlockSize = 10)
+    // compare pair sets through the same hashing
+    val gen = pGen.select(xxhash64(col("conv_a")).as("a"), xxhash64(col("conv_b")).as("b"),
+      col("n_blocks")).as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (math.min(a, b), math.max(a, b), n) }.toSet
+    val fus = pFus.select(col("conv_a"), col("conv_b"), col("n_blocks"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (math.min(a, b), math.max(a, b), n) }.toSet
+    assert(gen == fus)
+    // same dropped keys; fused sizes are the documented cap+1 lower bound
+    assert(dGen.select("block_key").as[Long].collect().toSet ==
+      dFus.select("block_key").as[Long].collect().toSet)
+    assert(dFus.select("block_size").as[Long].collect().forall(_ == 11L))
+    // the aggregator's state bound: saturates at cap+1 distinct, dedups
+    val agg = new graft.functions.BoundedCollectSet(4)
+    val r = (1L to 100L).foldLeft(agg.zero)((b, v) => agg.reduce(agg.reduce(b, v), v))
+    assert(r == Vector(1L, 2L, 3L, 4L))
+    val m = agg.merge(Vector(1L, 3L, 5L), Vector(2L, 3L, 7L, 9L))
+    assert(m == Vector(1L, 2L, 3L, 5L))
+  }
+
   test("checkpointed run resumes from snapshots and is byte-identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val io = new ParquetTableIO(spark, dir)
