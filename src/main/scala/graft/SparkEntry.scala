@@ -523,9 +523,13 @@ object SparkEntry {
     "q47_ltr_features" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val tok = toks(col("text"))
+      // query = first 8 tokens: the operator's domain is short search
+      // queries (Y-ERD averages ~4 words); feeding whole documents as
+      // "queries" explodes the ≤8-gram mention enumeration quadratically
+      // and demos nothing the 8-token prefix doesn't
       val gt = docs.select(
         concat(col("lang"), lit("_"), col("doc_id")).as("qid"),
-        col("text").as("query"),
+        array_join(slice(tok, 1, 8), " ").as("query"),
         array_join(slice(tok, 1, 2), " ").as("mention"),
         element_at(tok, 1).as("freebase_id"))
       graft.ml.Ltr.yerdCvInstances(gt, 0.1, 8)
@@ -1250,8 +1254,9 @@ object SparkEntry {
     // documents-derived gt frame (mention = first bigram, entity = first
     // token → titles are the tokens themselves, uri_to_name passthrough)
     "q47_ltr_features" ->
-      s"""WITH base AS (SELECT doc_id, lang, $TOKS AS t, $NORM AS ntext FROM documents),
-            gt AS (SELECT lang || '_' || doc_id AS qid, ntext AS qtext,
+      s"""WITH base AS (SELECT doc_id, lang, $TOKS AS t FROM documents),
+            gt AS (SELECT lang || '_' || doc_id AS qid,
+                          array_to_string(t[1:8], ' ') AS qtext,
                           array_to_string(t[1:2], ' ') AS mention, t[1] AS entity
                    FROM base WHERE len(t) > 0),
             counts AS (SELECT mention AS surface, entity, count(*) AS cnt

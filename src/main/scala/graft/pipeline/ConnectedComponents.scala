@@ -125,7 +125,12 @@ object ConnectedComponents {
     // the singleton-attach join can broadcast); past ~1M nodes a
     // LocalRelation is a plan-embedded monster serialized with every task,
     // so ship the rows once through parallelize instead (the attach join
-    // then shuffles — correct at that size)
+    // then shuffles — correct at that size). Round 3 measured the two
+    // tempting "fixes" and both lose: broadcast-hinting the parallelize DF
+    // round-trips every row driver → executors → driver (+2 s), and a
+    // broadcast-hinted multi-million-row LocalRelation costs ~10 s in
+    // driver-side encode + double plan serialization — the plain shuffled
+    // attach join is the fastest measured shape at this size.
     if (out.size <= 1000000) out.toSeq.toDF("conv_id", "cluster_id")
     else spark.createDataFrame(
       spark.sparkContext.parallelize(out.toSeq,
