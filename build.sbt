@@ -18,6 +18,11 @@ run / fork := true
 // ("Cannot find any build directories")
 run / envVars += ("SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
 run / envVars += ("SPARK_SCALA_VERSION" -> "2.13")
+// pass the forked JVM's stdout through verbatim instead of routing it via
+// the sbt logger: Bench prints its result as one bare JSON line, and the
+// "[info] " prefix the logger adds is what kept the driver's log-tail
+// parser from reading BENCH_r{2,3} (parsed: null)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

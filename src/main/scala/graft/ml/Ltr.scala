@@ -42,13 +42,26 @@ object Ltr {
     * (cross_validation.py:38-70): distinct sessions are shuffled (seeded
     * hash order replaces the reference's `random.shuffle`) and dealt
     * round-robin into k folds, so every instance of a session lands in
-    * the same fold. Adds `session` and `fold` columns.
+    * the same fold and fold sizes differ by at most one session. Adds
+    * `session` and `fold` columns.
+    *
+    * The deal runs distributed: a range-partitioned sort on (hash,
+    * session) + `zipWithIndex` — identical ordering (and therefore
+    * identical folds) to a global `row_number` Window, without funnelling
+    * every session through one task. The broadcast of the session→fold
+    * map is the remaining bound: fine for any realistic training set
+    * (sessions ≪ instances); at billions of sessions swap the broadcast
+    * for a shuffled join.
     */
   def assignFolds(instances: DataFrame, k: Int, seed: Long,
                   qidCol: String = "qid"): DataFrame = {
-    val sess = instances.select(session(col(qidCol)).as("session")).distinct()
-    val w = Window.orderBy(xxhash64(col("session"), lit(seed)), col("session"))
-    val folds = sess.withColumn("fold", ((row_number().over(w) - 1) % k).cast("int"))
+    val spark = instances.sparkSession
+    import spark.implicits._
+    val sorted = instances.select(session(col(qidCol)).as("session")).distinct()
+      .sort(xxhash64(col("session"), lit(seed)), col("session"))
+    val folds = sorted.select("session").as[String].rdd.zipWithIndex()
+      .map { case (s, i) => (s, (i % k).toInt) }
+      .toDF("session", "fold")
     instances.withColumn("session", session(col(qidCol)))
       .join(broadcast(folds), "session")
   }

@@ -108,9 +108,23 @@ object Blocking {
       // table and a broadcast barrier. Oversize blocks report block_size
       // = cap+1 as a LOWER BOUND (the drop audit needs the key, not the
       // exact hot-key cardinality).
-      val agged = blocks.groupBy("block_key")
+      // null ids are dropped up front: BoundedCollectSet's primitive Long
+      // input encoder would coerce a null to 0 where the generic path's
+      // collect_set silently skips it — the filter makes both branches
+      // agree (pipeline hids from xxhash64 are never null, so this
+      // predicate is a free codegen'd guard, not a data pass).
+      // Lazy-checkpointed (serialized): `agged` feeds two independent
+      // consumers (kept → pairs, dropped → drop audit); without it each
+      // consumer — e.g. TableIO's stage("pairs") and stage("dropped_blocks")
+      // — re-runs the full bounded-collect aggregation over the block
+      // table. Lazy means the pairs job both materializes and consumes it
+      // (no extra barrier); serialized keeps the cached member arrays
+      // compact.
+      val agged = blocks.where(col("conv_id").isNotNull).groupBy("block_key")
         .agg(graft.functions.BoundedCollectSet
           .bounded(maxBlockSize + 1, col("conv_id").cast("long")).as("members"))
+        .localCheckpoint(false,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val kept = agged.where(size(col("members")).between(2, maxBlockSize))
       val dropped = agged.where(size(col("members")) > maxBlockSize)
         .select(col("block_key"),

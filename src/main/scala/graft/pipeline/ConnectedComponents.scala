@@ -25,9 +25,28 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Driver-heap-derived default for the hybrid finisher's edge bound:
+    * an edge costs ~2 kB of transient driver memory through collect +
+    * union-find (two Row strings + two HashMap entries + the resolved
+    * assignment), so heap/2048 keeps the finisher comfortably inside any
+    * driver size (8 GB → ~4M edges, the constant rounds 2-3 shipped),
+    * clamped to [1M, 16M] so tiny test drivers still take the fast path
+    * and giant drivers don't serialize forever.
+    */
+  def defaultLocalMaxEdges: Long =
+    math.min(16000000L, math.max(1000000L, Runtime.getRuntime.maxMemory() / 2048))
+
+  /** Past this many NODES the resolved component map is no longer
+    * broadcast for the map-side attach (a 4M-entry string map is
+    * ~400-500 MB serialized per executor); larger assignments re-ship
+    * through parallelize + a shuffled join instead.
+    */
+  private val MaxBroadcastNodes = 4000000
+
   /** edges(src, dst) undirected, self-loops ignored →
     * assignment(conv_id, cluster_id); only nodes appearing in edges are
-    * returned (callers attach singletons with coalesce).
+    * returned (callers attach singletons with coalesce, or use
+    * [[runWithUniverse]] which folds the attach into the finisher).
     *
     * `localMaxEdges` > 0 enables the hybrid finisher: when the distinct
     * edge set fits under the bound, the components are closed with a
@@ -47,22 +66,143 @@ object ConnectedComponents {
           maxIter: Int = 50,
           onRound: (Int, Long, Long) => Unit = (_, _, _) => (),
           localMaxEdges: Long = 0L): DataFrame = {
+    val e = canonicalize(edges, checkpoint)
+    if (useLocalFinisher(e, localMaxEdges)) {
+      val parent = unionFind(e.select("u", "v").collect())
+      assignmentDf(e.sparkSession, resolve(parent))
+    } else distributedAssignment(e, checkpoint, maxIter, onRound)
+  }
+
+  /** CC + singleton attach in one operator: every id in
+    * `universe(conv_id)` gets a cluster_id (its component's min member, or
+    * itself when unlinked). On the driver-finisher path the attach is a
+    * broadcast-map lookup — a narrow projection over `universe`, no join,
+    * no shuffle — which removes the separate shuffled singleton-attach
+    * join that was the pipeline's serial tail (VERDICT r3 §perf). The
+    * distributed path (edge set over the bound, or non-string ids) keeps
+    * the left-join + coalesce attach.
+    */
+  def runWithUniverse(edges: DataFrame, universe: DataFrame,
+                      checkpoint: (DataFrame, Int) => DataFrame = (df, _) => df.localCheckpoint(false),
+                      maxIter: Int = 50,
+                      onRound: (Int, Long, Long) => Unit = (_, _, _) => (),
+                      localMaxEdges: Long = 0L): DataFrame = {
     val spark = edges.sparkSession
-    var e = edges.select(
+    val e = canonicalize(edges, checkpoint)
+    if (useLocalFinisher(e, localMaxEdges)) {
+      val resolved = resolve(unionFind(e.select("u", "v").collect()))
+      if (resolved.size() <= MaxBroadcastNodes) {
+        // the map is already ON the driver — sc.broadcast ships it once
+        // (torrent), unlike a broadcast-hinted DataFrame whose execution
+        // would round-trip every row driver → executors → driver
+        // (measured +2 s, round 3). Lookup is a per-row map get.
+        val bc = spark.sparkContext.broadcast(resolved)
+        val look = udf((s: String) => {
+          val v = bc.value.get(s); if (v == null) s else v
+        }).asNondeterministic() // deterministic in fact; flag keeps the
+        // optimizer from re-executing the lookup across plan branches
+        universe.select(col("conv_id"),
+          look(col("conv_id")).as("cluster_id"))
+      } else joinAttach(universe, assignmentDf(spark, resolved))
+    } else joinAttach(universe, distributedAssignment(e, checkpoint, maxIter, onRound))
+  }
+
+  private def joinAttach(universe: DataFrame, assignment: DataFrame): DataFrame =
+    universe.select(col("conv_id")).join(assignment, Seq("conv_id"), "left")
+      .select(col("conv_id"),
+        coalesce(col("cluster_id"), col("conv_id")).as("cluster_id"))
+
+  /** dedup + canonical (u < v) orientation, checkpointed as round −1. */
+  private def canonicalize(edges: DataFrame,
+                           checkpoint: (DataFrame, Int) => DataFrame): DataFrame =
+    checkpoint(edges.select(
       least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-    e = checkpoint(e, -1)
+      .distinct(), -1)
 
-    // the driver finisher reads ids as strings; non-string ids (valid for
-    // the distributed path, which only needs an ordering) fall through to
-    // the iterative rounds rather than risking a ClassCastException or a
-    // lexicographic-vs-native ordering divergence
+  /** The driver finisher reads ids as strings; non-string ids (valid for
+    * the distributed path, which only needs an ordering) fall through to
+    * the iterative rounds rather than risking a ClassCastException or a
+    * lexicographic-vs-native ordering divergence.
+    */
+  private def useLocalFinisher(e: DataFrame, localMaxEdges: Long): Boolean = {
     val stringIds = e.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.StringType)
-    if (localMaxEdges > 0 && stringIds && e.count() <= localMaxEdges)
-      return localUnionFind(e)
+    localMaxEdges > 0 && stringIds && e.count() <= localMaxEdges
+  }
 
+  /** Union-find with path compression, min member as the representative —
+    * byte-identical clustering to the star-forest result. Only reached
+    * under `localMaxEdges`. (collect(), not toLocalIterator(): the latter
+    * fetches partitions one round-trip at a time — numShufflePartitions
+    * sequential jobs; the localMaxEdges guard already bounds driver
+    * memory.)
+    */
+  private def unionFind(rows: Array[org.apache.spark.sql.Row]): java.util.HashMap[String, String] = {
+    val parent = new java.util.HashMap[String, String]()
+    def find(x: String): String = {
+      var root = x
+      while (parent.get(root) != root) root = parent.get(root)
+      var cur = x // path compression
+      while (parent.get(cur) != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
+      root
+    }
+    var ri = 0
+    while (ri < rows.length) {
+      val row = rows(ri)
+      ri += 1
+      val u = row.getString(0)
+      val v = row.getString(1)
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val ru = find(u)
+      val rv = find(v)
+      if (ru != rv) { // min id wins as the representative
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    parent
+  }
+
+  /** node → final root for every node (full path resolution). */
+  private def resolve(parent: java.util.HashMap[String, String]): java.util.HashMap[String, String] = {
+    val out = new java.util.HashMap[String, String](parent.size())
+    parent.keySet().forEach { k =>
+      var root = k
+      while (parent.get(root) != root) root = parent.get(root)
+      out.put(k, root)
+    }
+    out
+  }
+
+  private def assignmentDf(spark: org.apache.spark.sql.SparkSession,
+                           resolved: java.util.HashMap[String, String]): DataFrame = {
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String)](resolved.size())
+    resolved.forEach((k, v) => out += ((k, v)))
+    import spark.implicits._
+    // small assignments ride back as a LocalRelation (size stats known →
+    // a downstream attach join can broadcast); past ~1M nodes a
+    // LocalRelation is a plan-embedded monster serialized with every task,
+    // so ship the rows once through parallelize instead (the attach join
+    // then shuffles — correct at that size). Round 3 measured the two
+    // tempting "fixes" and both lose: broadcast-hinting the parallelize DF
+    // round-trips every row driver → executors → driver (+2 s), and a
+    // broadcast-hinted multi-million-row LocalRelation costs ~10 s in
+    // driver-side encode + double plan serialization — the plain shuffled
+    // attach join is the fastest measured shape at this size.
+    if (out.size <= 1000000) out.toSeq.toDF("conv_id", "cluster_id")
+    else spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq,
+        math.max(spark.sparkContext.defaultParallelism, 8)))
+      .toDF("conv_id", "cluster_id")
+  }
+
+  /** The distributed large/small-star rounds + star-forest readout. */
+  private def distributedAssignment(e0: DataFrame,
+                                    checkpoint: (DataFrame, Int) => DataFrame,
+                                    maxIter: Int,
+                                    onRound: (Int, Long, Long) => Unit): DataFrame = {
+    var e = e0
     var fingerprint = (-1L, -1L)
     var iter = 0
     var converged = false
@@ -84,58 +224,6 @@ object ConnectedComponents {
     sym.groupBy(col("u").as("conv_id"))
       .agg(min(col("v")).as("min_nbr"))
       .select(col("conv_id"), least(col("min_nbr"), col("conv_id")).as("cluster_id"))
-  }
-
-  /** Driver-side union-find with path compression, min member as the
-    * representative — byte-identical to the star-forest result. Only
-    * reached under `localMaxEdges`.
-    */
-  private def localUnionFind(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
-    val parent = new java.util.HashMap[String, String]()
-    def find(x: String): String = {
-      var root = x
-      while (parent.get(root) != root) root = parent.get(root)
-      var cur = x // path compression
-      while (parent.get(cur) != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
-      root
-    }
-    // collect(), not toLocalIterator(): the latter fetches partitions one
-    // round-trip at a time (numShufflePartitions sequential jobs); the
-    // localMaxEdges guard already bounds driver memory
-    val rows = e.select("u", "v").collect()
-    var ri = 0
-    while (ri < rows.length) {
-      val row = rows(ri)
-      ri += 1
-      val u = row.getString(0)
-      val v = row.getString(1)
-      if (!parent.containsKey(u)) parent.put(u, u)
-      if (!parent.containsKey(v)) parent.put(v, v)
-      val ru = find(u)
-      val rv = find(v)
-      if (ru != rv) { // min id wins as the representative
-        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
-      }
-    }
-    val out = new scala.collection.mutable.ArrayBuffer[(String, String)](parent.size())
-    parent.keySet().forEach(k => out += ((k, find(k))))
-    import spark.implicits._
-    // small assignments ride back as a LocalRelation (size stats known →
-    // the singleton-attach join can broadcast); past ~1M nodes a
-    // LocalRelation is a plan-embedded monster serialized with every task,
-    // so ship the rows once through parallelize instead (the attach join
-    // then shuffles — correct at that size). Round 3 measured the two
-    // tempting "fixes" and both lose: broadcast-hinting the parallelize DF
-    // round-trips every row driver → executors → driver (+2 s), and a
-    // broadcast-hinted multi-million-row LocalRelation costs ~10 s in
-    // driver-side encode + double plan serialization — the plain shuffled
-    // attach join is the fastest measured shape at this size.
-    if (out.size <= 1000000) out.toSeq.toDF("conv_id", "cluster_id")
-    else spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toSeq,
-        math.max(spark.sparkContext.defaultParallelism, 8)))
-      .toDF("conv_id", "cluster_id")
   }
 
   /** large-star: each node u links its larger neighbors to the minimum of

@@ -34,11 +34,14 @@ object Scoring {
     * pair-dedup shuffle instead of id strings (16-byte fixed rows and
     * primitive agg keys through the two heaviest exchanges). The output
     * always carries the true string conv_a/conv_b: the doc-feature join
-    * this stage already does restores them for free. A hid collision makes
-    * the join fan out — the colliding pair becomes extra VERIFIED
-    * candidates (scored by the exact kernels, dropped unless truly
-    * similar), so compaction can only add recall-noise that scoring
-    * filters, never lose a pair.
+    * this stage already does restores them for free. Collision semantics:
+    * a collision BETWEEN the two sides of a pair makes the join fan out —
+    * extra VERIFIED candidates (scored by the exact kernels, dropped
+    * unless truly similar), pure filterable noise. A collision of two
+    * docs on ONE hid is different: they become a single blocking
+    * identity, so the direct pair between them is never generated —
+    * a recall loss with expected count ≈ n²/2⁶⁵ (~3·10⁻⁶ pairs at 10¹²
+    * docs), the accepted price of 16-byte shuffle rows.
     */
   def scorePairs(pairs: DataFrame, docs: DataFrame, w: Weights = Weights(),
                  prefixChars: Int = 256, levMaxDist: Int = 128,

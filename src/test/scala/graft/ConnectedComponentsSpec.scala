@@ -71,6 +71,43 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("fallback boundary: exactly localMaxEdges stays local, +1 engages distributed rounds, identical clusters") {
+    val rnd = new scala.util.Random(11)
+    val n = 60
+    val ids = (0 until n).map(i => f"b$i%03d")
+    val raw = (0 until 90).map(_ => (ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+    // the bound applies to the CANONICAL edge set (dedup, u<v, no loops)
+    val canonical = raw.filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+    val df = raw.toDF("src", "dst")
+
+    def runCounting(bound: Long): (Map[String, String], Int) = {
+      var rounds = 0
+      val m = ConnectedComponents.run(df, localMaxEdges = bound,
+        onRound = (_, _, _) => rounds += 1).as[(String, String)].collect().toMap
+      (m, rounds)
+    }
+    val (local, localRounds) = runCounting(canonical.size.toLong)
+    val (dist, distRounds) = runCounting(canonical.size.toLong - 1)
+    assert(localRounds == 0, "driver finisher must not iterate")
+    assert(distRounds > 0, "bound-1 must engage the distributed rounds")
+    assert(local == dist, "both paths must produce identical clusters")
+  }
+
+  test("runWithUniverse: broadcast-map attach covers singletons, equals join attach") {
+    val edges = Seq("c" -> "b", "b" -> "a", "x" -> "y").toDF("src", "dst")
+    val universe = Seq("a", "b", "c", "x", "y", "lonely1", "lonely2").toDF("conv_id")
+    val attached = ConnectedComponents
+      .runWithUniverse(edges, universe, localMaxEdges = 1000L)
+      .as[(String, String)].collect().toMap
+    assert(attached == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "lonely1" -> "lonely1", "lonely2" -> "lonely2"))
+    // distributed-path attach (bound 0) agrees
+    val viaJoin = ConnectedComponents.runWithUniverse(edges, universe)
+      .as[(String, String)].collect().toMap
+    assert(viaJoin == attached)
+  }
+
   test("numeric ids under localMaxEdges fall back to distributed rounds (no driver cast crash)") {
     val df = Seq((3L, 1L), (1L, 2L), (10L, 20L)).toDF("src", "dst")
     // round 2 threw ClassCastException in the driver finisher (getString on
