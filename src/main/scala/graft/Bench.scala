@@ -81,6 +81,16 @@ object Bench {
     val exLo = 2
     val exHi = 8
     val coresPer = 2
+    // anti-quantization sizing scales with the input (BASELINE.md round-3
+    // protocol): at the minutes-scale 6.72M-turn input the stages need
+    // 16 MB scan splits / AQE advisory + 256 shuffle partitions to keep
+    // ≥4 task waves at the 4N config; at the old 3.36M default, 4 MB / 64.
+    // Identical at both levels (fairness).
+    val minutesScale = nBase >= 400000L
+    val partBytes = (if (minutesScale) 16 else 4) * 1024 * 1024
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        if (minutesScale) "256" else "64")
     // shuffle + spill on tmpfs when available: the sandbox's single
     // virtual disk saturates at the 4N config (measured: a hard ~40 s
     // floor at 16 cores that vanishes on /dev/shm); a real 4N cluster
@@ -98,23 +108,19 @@ object Bench {
           .config("spark.executor.memory", "6g")
           .config("spark.jars", jar)
           .config("spark.local.dir", localDir)
-          // 4 waves at the 4N config; identical at both levels (fairness)
-          .config("spark.sql.shuffle.partitions",
-            sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"))
+          .config("spark.sql.shuffle.partitions", shufflePartitions)
           // anti-quantization pair (see BenchPipeline): fine scan splits +
           // small AQE advisory size keep map AND reduce task counts well
           // above the 4N core count — without them the 64-file stage input
           // bin-packs to ~9 map partitions and AQE coalesces reduces to
           // ~16, so the 4N config runs ~1 wave of fat tasks and idles half
-          // its cores on the straggler tail. 4 MB here (vs 16 MB for the
-          // minutes-scale BenchPipeline runs) because the driver-default
-          // input is ~8× smaller — the point is matching the ≥4-waves task
-          // structure a production-sized stage gets from the DEFAULT 64 MB
-          // target, scaled to the proxy's stage sizes. Identical at both
-          // levels (fairness).
-          .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+          // its cores on the straggler tail. The point is matching the
+          // ≥4-waves task structure a production-sized stage gets from the
+          // DEFAULT 64 MB target, scaled to the proxy's stage sizes.
+          // Identical at both levels (fairness).
+          .config("spark.sql.files.maxPartitionBytes", partBytes.toString)
           .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            (4 * 1024 * 1024).toString)
+            partBytes.toString)
           .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
@@ -202,11 +208,12 @@ object Bench {
 
     // executor-granularity scaling (separate JVMs — the honest N vs 4N
     // proxy; the in-JVM thread comparison above is kept for continuity).
-    // 240k bases ≈ 3.36M turns: the low config runs ~1 min per rep, deep
-    // enough that the constant ~3-5 s serial tail (CC finisher + input
-    // count) stops dominating the ratio — round 3's minutes-scale runs
-    // at 480k bases are the full evidence (BASELINE.md)
-    val clusterBase = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_NBASE", "240000").toLong
+    // 480k bases ≈ 6.72M turns: the BASELINE.md round-3 minutes-scale
+    // protocol — the low config runs minutes per rep, deep enough that
+    // the constant serial tail (CC finisher + scheduling barriers) stops
+    // dominating the ratio, and the criterion-bearing efficiency number
+    // lands in THIS artifact instead of a side run (VERDICT r3 item 1)
+    val clusterBase = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_NBASE", "480000").toLong
     val cluster = clusterScaling(clusterBase)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }

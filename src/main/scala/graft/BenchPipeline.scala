@@ -26,9 +26,15 @@ object BenchPipeline {
     */
   private[graft] def stageInput(spark: SparkSession, n: Long): DataFrame = {
     val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-bench-input-$n"
-    TranscriptGen.transcripts(spark, n, dupsPerBase = 2)
-      .repartition(64)
-      .write.mode("overwrite").parquet(dir)
+    // the generator is deterministic in n, so a completed staging (marked
+    // by parquet's _SUCCESS) is reused across sessions/configs — the
+    // cluster-scaling block would otherwise regenerate the same table for
+    // every parallelism level it measures
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      TranscriptGen.transcripts(spark, n, dupsPerBase = 2)
+        .repartition(64)
+        .write.mode("overwrite").parquet(dir)
+    }
     spark.read.parquet(dir)
   }
 

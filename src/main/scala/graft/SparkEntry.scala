@@ -9,11 +9,12 @@ import graft.pipeline._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every implemented operator from SURVEY.md §2 has a `queries` entry;
-  * SQL-expressible ones also have a DuckDB oracle in [[oracleSql]] with
-  * IDENTICAL column names and matched rounding. Entries without an oracle
-  * (minhash/simhash/IVF/pipeline — driver-side rows-only check) are the
-  * hash-based operators DuckDB cannot reproduce.
+  * Every implemented operator from SURVEY.md §2 has a `queries` entry AND
+  * a DuckDB oracle in [[oracleSql]] with IDENTICAL column names and
+  * matched rounding. The two hash-keyed queries (q22 simhash, q23
+  * embedding-LSH) are oracled via the [[Verify.AuxDir]] exports: the
+  * Spark-computed bucket keys become DuckDB inputs and the oracle replays
+  * the pairing + exact-verify semantics independently.
   */
 object SparkEntry {
 
@@ -538,6 +539,43 @@ object SparkEntry {
           round(col("len_ratio"), 4).as("len_ratio"),
           col("matches"), col("ntem"), col("smil"), col("mct"), col("tcm"),
           col("tem"), col("qct"), col("tcq"), col("teq"))
+    }),
+
+    // ---- candidate interpretation-set enumeration (segmentation.py:14-88
+    //      via set_generator.py:75-115) over the q34 candidate fixture,
+    //      capped at 8 candidates/query (the fixture stand-in for the
+    //      reference's top-k cut). Oracle = DuckDB recursive
+    //      include/exclude replay of the same subset space. ----
+    "q48_iset_enum" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val surf = docs.select(
+        explode(ngrams_up_to(toks(col("text")), 2)).as("surface"),
+        col("lang").as("entity"))
+        .groupBy("surface", "entity").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("surface")
+      val dict = surf
+        .withColumn("cmn", col("cnt").cast("double") / sum("cnt").over(w).cast("double"))
+        .where(col("cmn") >= 0.1)
+        .select(col("surface"), col("entity"), col("cmn"))
+      val qs = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val cands = ReferenceOps.commonnessBackoff(
+        qs.select(col("qid"), col("qtext")), dict, 3)
+        .select(col("qid"), col("surface").as("mention"), col("entity"),
+          col("cmn").as("score"))
+        .dropDuplicates("qid", "mention", "entity")
+      val rw = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("mention"), col("entity"))
+      val capped = cands.withColumn("rn", row_number().over(rw))
+        .where(col("rn") <= 8)
+      IsfSets.enumerate(capped.join(qs, "qid")
+          .withColumn("rnk", col("rn")).withColumn("cmn", col("score")))
+        .toDF()
+        .groupBy("qid", "iset_id")
+        .agg(array_join(sort_array(collect_list(
+          concat_ws("=", col("entity"), col("mention")))), " ").as("iset"),
+          count(lit(1)).as("n"))
+        .select(col("qid"), col("iset"), col("n"))
     })
   )
 
@@ -1147,6 +1185,48 @@ object SparkEntry {
             FROM shl x JOIN shl y ON x.doc_id < y.doc_id)
           WHERE jacc >= 0.5""",
 
+    // q22/q23: the bucket keys are xxhash64-derived, so graft.Verify
+    // exports the Spark-computed signatures/bucket assignments to
+    // /tmp/graft-aux (see Verify.AuxDir) and the oracle replays the full
+    // pairing + exact-verify semantics over them: block-size cap, within-
+    // block pairs, dedup, then the Hamming / cosine verify recomputed
+    // INDEPENDENTLY by DuckDB (bit_count(xor) over the signatures; exact
+    // cosine over the embeddings table).
+    "q22_simhash_pairs" ->
+      """WITH blocks AS (SELECT DISTINCT conv_id, block_key
+                         FROM '/tmp/graft-aux/q22_blocks/*.parquet'),
+            sizes AS (SELECT block_key, count(*) AS sz FROM blocks GROUP BY 1),
+            kept AS (SELECT b.conv_id, b.block_key FROM blocks b
+                     JOIN sizes USING (block_key) WHERE sz BETWEEN 2 AND 64),
+            pairs AS (SELECT DISTINCT x.conv_id AS a, y.conv_id AS b
+                      FROM kept x JOIN kept y
+                        ON x.block_key = y.block_key AND x.conv_id < y.conv_id),
+            sim AS (SELECT conv_id, sim FROM '/tmp/graft-aux/q22_sim/*.parquet')
+          SELECT p.a, p.b, bit_count(xor(sa.sim, sb.sim))::INT AS hamming
+          FROM pairs p
+          JOIN sim sa ON sa.conv_id = p.a
+          JOIN sim sb ON sb.conv_id = p.b
+          WHERE bit_count(xor(sa.sim, sb.sim)) <= 3""",
+
+    "q23_emb_neardup" ->
+      """WITH bk AS (SELECT conv_id, block_key
+                     FROM '/tmp/graft-aux/q23_buckets/*.parquet'),
+            sizes AS (SELECT block_key, count(*) AS sz FROM bk GROUP BY 1),
+            kept AS (SELECT b.conv_id, b.block_key FROM bk b
+                     JOIN sizes USING (block_key) WHERE sz <= 256),
+            pairs AS (SELECT DISTINCT x.conv_id AS a, y.conv_id AS b
+                      FROM kept x JOIN kept y
+                        ON x.block_key = y.block_key AND x.conv_id < y.conv_id),
+            v AS (SELECT vec_id::VARCHAR AS conv_id, embedding FROM embeddings)
+          SELECT p.a, p.b,
+                 round(list_cosine_similarity(va.embedding::DOUBLE[],
+                                              vb.embedding::DOUBLE[]), 4) AS cosine
+          FROM pairs p
+          JOIN v va ON va.conv_id = p.a
+          JOIN v vb ON vb.conv_id = p.b
+          WHERE list_cosine_similarity(va.embedding::DOUBLE[],
+                                       vb.embedding::DOUBLE[]) >= 0.25""",
+
     "q44_facc_set_features" ->
       s"""WITH facc AS (SELECT DISTINCT doc_id, unnest(list_distinct($TOKS)) AS entity
                         FROM documents),
@@ -1331,6 +1411,64 @@ object SparkEntry {
                 round(((list_reduce(list_prepend(7::BIGINT,
                     [ascii(text[i:i])::BIGINT for i in range(1, len(text)+1)]),
                     (a, b) -> (a * 31 + b) % 1000000007) % 2000) - 1000) / 1000.0, 4) AS f0
-         FROM documents"""
+         FROM documents""",
+
+    // q48: recursive include/exclude replay of the interpretation-set
+    // space — at each candidate (ordered by the same deterministic rank)
+    // the set either skips it or takes it when its mention shares no word
+    // with the taken mentions AND its entity is unchosen (the entity-
+    // collapse completeness filter, segmentation.py:80-86); a valid iset
+    // is any non-empty fully-expanded path. Dict/backoff CTEs are the q34
+    // fixture.
+    "q48_iset_enum" -> {
+      s"""WITH RECURSIVE
+            surf AS (SELECT unnest(${NGRAMS(2)}) AS surface, lang AS entity
+                     FROM (SELECT $TOKS AS t, lang FROM documents)),
+            cagg AS (SELECT surface, entity, count(*) AS cnt FROM surf GROUP BY 1, 2),
+            dict AS (SELECT surface, entity, cmn FROM (
+                       SELECT surface, entity,
+                              cnt::DOUBLE / (sum(cnt) OVER (PARTITION BY surface))::DOUBLE AS cmn
+                       FROM cagg) WHERE cmn >= 0.1),
+            ng AS (SELECT doc_id AS qid, unnest(${NGRAMS(3)}) AS surface
+                   FROM (SELECT doc_id, $TOKS AS t FROM documents)
+                   WHERE doc_id % 17 = 0),
+            mm AS (SELECT qid, surface, entity, cmn,
+                          len(string_split(surface, ' ')) AS len
+                   FROM ng JOIN dict USING (surface)),
+            backoff AS (SELECT DISTINCT qid, surface AS mention, entity, cmn AS score
+                        FROM (SELECT *, max(len) OVER (PARTITION BY qid) AS ml FROM mm)
+                        WHERE len = ml),
+            capped AS (SELECT * FROM (
+                         SELECT qid, mention, entity, score,
+                                row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, mention, entity) AS rn
+                         FROM backoff) WHERE rn <= 8),
+            nq AS (SELECT qid, count(*) AS n FROM capped GROUP BY 1),
+            rec AS (
+              SELECT qid, 0 AS i,
+                     CAST([] AS STRUCT(entity VARCHAR, mention VARCHAR)[]) AS taken
+              FROM nq
+              UNION ALL
+              SELECT r.qid, r.i + 1,
+                     CASE WHEN ch.take
+                          THEN list_append(r.taken, {'entity': c.entity, 'mention': c.mention})
+                          ELSE r.taken END
+              FROM rec r
+              JOIN capped c ON c.qid = r.qid AND c.rn = r.i + 1
+              CROSS JOIN (SELECT unnest([true, false]) AS take) ch
+              WHERE (NOT ch.take) OR (
+                NOT list_contains(list_transform(r.taken, t -> t.entity), c.entity)
+                AND NOT list_has_any(
+                      flatten(list_transform(r.taken,
+                        t -> list_distinct(string_split(t.mention, ' ')))),
+                      string_split(c.mention, ' ')))),
+            final AS (SELECT r.qid, r.taken FROM rec r JOIN nq USING (qid)
+                      WHERE r.i = nq.n AND len(r.taken) > 0)
+          SELECT qid::VARCHAR AS qid,
+                 array_to_string(list_sort(list_transform(taken,
+                   t -> t.entity || '=' || t.mention)), ' ') AS iset,
+                 len(taken)::BIGINT AS n
+          FROM final"""
+    }
   )
 }

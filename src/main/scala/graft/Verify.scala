@@ -4,6 +4,9 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Where the hash-keyed aux tables land (see the aux-export block). */
+  val AuxDir = "/tmp/graft-aux"
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,6 +24,26 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    // Aux exports for the two hash-keyed queries (q22 simhash, q23
+    // embedding-LSH): the bucket keys are xxhash64-derived and cannot be
+    // recomputed by another engine, so the Spark-computed signatures /
+    // bucket assignments are exported and the oracle SQL replays the
+    // pairing + exact-verify semantics over them end-to-end (VERDICT r3
+    // item 4). Fixed absolute path because oracleSql is static text the
+    // driver runs in DuckDB on this machine.
+    try {
+      import graft.operators.Dedup
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val sh = Dedup.simhashSignatures(docs, "doc_id", "text")
+      sh.coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/q22_sim")
+      Dedup.simhashBlocks(sh, maxHamming = 3).coalesce(1)
+        .write.mode("overwrite").parquet(s"$AuxDir/q22_blocks")
+      Dedup.signBuckets(emb, "vec_id", "embedding", 6).coalesce(1)
+        .write.mode("overwrite").parquet(s"$AuxDir/q23_buckets")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] aux export failed: ${e.getMessage}")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

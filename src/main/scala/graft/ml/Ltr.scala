@@ -134,11 +134,27 @@ object Ltr {
     */
   def crossValidate(instances: DataFrame, featureCols: Seq[String],
                     labelCol: String, k: Int,
-                    cfg: RfConfig = RfConfig(), qidCol: String = "qid"): DataFrame = {
-    val folded = assignFolds(instances, k, cfg.seed, qidCol)
+                    cfg: RfConfig = RfConfig(), qidCol: String = "qid"): DataFrame =
+    crossValidateWith(instances, featureCols, k, cfg.seed, qidCol)(
+      trainRf(_, featureCols, labelCol, cfg))
+
+  /** GBT-family CV — the model family of the reference's set detector
+    * (set_detector.py main: -t/-d → "gbrt").
+    */
+  def crossValidateGbt(instances: DataFrame, featureCols: Seq[String],
+                       labelCol: String, k: Int,
+                       cfg: GbtConfig = GbtConfig(), qidCol: String = "qid"): DataFrame =
+    crossValidateWith(instances, featureCols, k, cfg.seed, qidCol)(
+      trainGbt(_, featureCols, labelCol, cfg))
+
+  private def crossValidateWith(instances: DataFrame, featureCols: Seq[String],
+                                k: Int, seed: Long, qidCol: String)(
+      train: DataFrame => org.apache.spark.ml.Model[_]
+        with org.apache.spark.ml.param.shared.HasFeaturesCol): DataFrame = {
+    val folded = assignFolds(instances, k, seed, qidCol)
       .localCheckpoint(true) // k models re-read it; folds must not recompute
     val parts = (0 until k).map { f =>
-      val model = trainRf(folded.where(col("fold") =!= f), featureCols, labelCol, cfg)
+      val model = train(folded.where(col("fold") =!= f))
       applyRf(model, folded.where(col("fold") === f), featureCols)
     }
     parts.reduce(_ unionByName _).drop("fold", "session")

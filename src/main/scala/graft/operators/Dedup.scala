@@ -102,21 +102,35 @@ object Dedup {
     * the intrinsic cost of a loose threshold, bounded by `cap` (drops
     * reported by the blocking layer, never silent).
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int, cap: Int): DataFrame = {
+  /** Per-doc simhash signatures: (conv_id, sim). Exposed separately so the
+    * correctness gate can export them (the oracle replays the Hamming
+    * verify in SQL over these exact signatures — the hash itself is not
+    * reproducible in another engine).
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("conv_id"), simhash64(tokens(col(textCol))).as("sim"))
+
+  /** Chunk-key blocks over simhash signatures (the pigeonhole banding of
+    * [[simhashPairs]]): (conv_id, block_key).
+    */
+  def simhashBlocks(sh: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming $maxHamming out of range: chunks need >= 2 bits for useful blocking")
     val nChunks = maxHamming + 1
     val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
-    val sh = docs.select(col(idCol).as("conv_id"),
-      simhash64(tokens(col(textCol))).as("sim"))
     val chunkKeys = (0 until nChunks).map { i =>
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
       xxhash64(lit(i),
         call_function("shiftrightunsigned", col("sim"), lit(starts(i))).bitwiseAND(lit(mask)))
     }
-    val blocks = sh.select(col("conv_id"), explode(array(chunkKeys: _*)).as("block_key"))
+    sh.select(col("conv_id"), explode(array(chunkKeys: _*)).as("block_key"))
+  }
+
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int, cap: Int): DataFrame = {
+    val sh = simhashSignatures(docs, idCol, textCol)
+    val blocks = simhashBlocks(sh, maxHamming)
     val (pairs, _) = Blocking.pairsFromBlocks(blocks, cap)
     pairs
       .join(sh.select(col("conv_id").as("conv_a"), col("sim").as("sim_a")), "conv_a")
@@ -130,10 +144,17 @@ object Dedup {
     * (deterministic hash-derived hyperplanes, built-in exprs only), exact
     * cosine verify inside buckets.
     */
+  /** Sign-bucket assignment (conv_id, block_key) — exposed for the
+    * correctness gate's oracle export, like [[simhashSignatures]].
+    */
+  def signBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                  signBits: Int): DataFrame =
+    emb.select(col(idCol).cast("string").as("conv_id"),
+      signBucket(col(vecCol), signBits).as("block_key"))
+
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                            signBits: Int, minCosine: Double, cap: Int): DataFrame = {
-    val bucketed = emb.select(col(idCol).cast("string").as("conv_id"),
-      signBucket(col(vecCol), signBits).as("block_key"))
+    val bucketed = signBuckets(emb, idCol, vecCol, signBits)
     val (pairs, _) = Blocking.pairsFromBlocks(bucketed, cap)
     val v = emb.select(col(idCol).cast("string").as("conv_id"), col(vecCol).as("vec"))
     val n = emb.sparkSession.sessionState.conf.numShufflePartitions

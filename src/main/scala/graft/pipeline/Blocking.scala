@@ -96,7 +96,17 @@ object Blocking {
     * over the full block table and was the scaling bottleneck.
     * conv_a < conv_b canonicalizes (members sorted before enumeration).
     */
-  def pairsFromBlocks(blocks: DataFrame, maxBlockSize: Int): (DataFrame, DataFrame) = {
+  /** `shareAggregate`: lazily cache the fused path's bounded-collect
+    * aggregate so independent consumers of BOTH outputs (pairs + the drop
+    * audit) share one pass over the block table — wanted when both are
+    * materialized (TableIO's stage("pairs") + stage("dropped_blocks")),
+    * pure cache pressure when the audit is never read (the in-memory
+    * pipeline): the aggregate is the largest intermediate of the whole
+    * run, and pinning it steals executor storage from the scored-stage
+    * joins.
+    */
+  def pairsFromBlocks(blocks: DataFrame, maxBlockSize: Int,
+                      shareAggregate: Boolean = false): (DataFrame, DataFrame) = {
     val longIds = blocks.schema("conv_id").dataType ==
       org.apache.spark.sql.types.LongType
     if (longIds) {
@@ -113,18 +123,15 @@ object Blocking {
       // collect_set silently skips it — the filter makes both branches
       // agree (pipeline hids from xxhash64 are never null, so this
       // predicate is a free codegen'd guard, not a data pass).
-      // Lazy-checkpointed (serialized): `agged` feeds two independent
-      // consumers (kept → pairs, dropped → drop audit); without it each
-      // consumer — e.g. TableIO's stage("pairs") and stage("dropped_blocks")
-      // — re-runs the full bounded-collect aggregation over the block
-      // table. Lazy means the pairs job both materializes and consumes it
-      // (no extra barrier); serialized keeps the cached member arrays
-      // compact.
-      val agged = blocks.where(col("conv_id").isNotNull).groupBy("block_key")
+      val agged0 = blocks.where(col("conv_id").isNotNull).groupBy("block_key")
         .agg(graft.functions.BoundedCollectSet
           .bounded(maxBlockSize + 1, col("conv_id").cast("long")).as("members"))
-        .localCheckpoint(false,
+      // lazy + serialized: the pairs job both materializes and consumes it
+      // (no extra barrier), and the cached member arrays stay compact
+      val agged =
+        if (shareAggregate) agged0.localCheckpoint(false,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        else agged0
       val kept = agged.where(size(col("members")).between(2, maxBlockSize))
       val dropped = agged.where(size(col("members")) > maxBlockSize)
         .select(col("block_key"),

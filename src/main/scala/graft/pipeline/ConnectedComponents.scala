@@ -65,12 +65,14 @@ object ConnectedComponents {
           checkpoint: (DataFrame, Int) => DataFrame = (df, _) => df.localCheckpoint(false),
           maxIter: Int = 50,
           onRound: (Int, Long, Long) => Unit = (_, _, _) => (),
-          localMaxEdges: Long = 0L): DataFrame = {
-    val e = canonicalize(edges, checkpoint)
+          localMaxEdges: Long = 0L,
+          edgesDistinct: Boolean = false): DataFrame = {
+    val e = canonicalize(edges, checkpoint, edgesDistinct)
     if (useLocalFinisher(e, localMaxEdges)) {
       val parent = unionFind(e.select("u", "v").collect())
       assignmentDf(e.sparkSession, resolve(parent))
-    } else distributedAssignment(e, checkpoint, maxIter, onRound)
+    } else distributedAssignment(
+      dedupForRounds(e, checkpoint, edgesDistinct), checkpoint, maxIter, onRound)
   }
 
   /** CC + singleton attach in one operator: every id in
@@ -86,9 +88,10 @@ object ConnectedComponents {
                       checkpoint: (DataFrame, Int) => DataFrame = (df, _) => df.localCheckpoint(false),
                       maxIter: Int = 50,
                       onRound: (Int, Long, Long) => Unit = (_, _, _) => (),
-                      localMaxEdges: Long = 0L): DataFrame = {
+                      localMaxEdges: Long = 0L,
+                      edgesDistinct: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-    val e = canonicalize(edges, checkpoint)
+    val e = canonicalize(edges, checkpoint, edgesDistinct)
     if (useLocalFinisher(e, localMaxEdges)) {
       val resolved = resolve(unionFind(e.select("u", "v").collect()))
       if (resolved.size() <= MaxBroadcastNodes) {
@@ -104,7 +107,8 @@ object ConnectedComponents {
         universe.select(col("conv_id"),
           look(col("conv_id")).as("cluster_id"))
       } else joinAttach(universe, assignmentDf(spark, resolved))
-    } else joinAttach(universe, distributedAssignment(e, checkpoint, maxIter, onRound))
+    } else joinAttach(universe, distributedAssignment(
+      dedupForRounds(e, checkpoint, edgesDistinct), checkpoint, maxIter, onRound))
   }
 
   private def joinAttach(universe: DataFrame, assignment: DataFrame): DataFrame =
@@ -112,13 +116,30 @@ object ConnectedComponents {
       .select(col("conv_id"),
         coalesce(col("cluster_id"), col("conv_id")).as("cluster_id"))
 
-  /** dedup + canonical (u < v) orientation, checkpointed as round −1. */
+  /** Canonical (u < v) orientation; deduplicated + checkpointed unless the
+    * caller vouches the edges are already distinct (`edgesDistinct`) — the
+    * pipeline's pair-dedup stage guarantees that, and skipping the
+    * `distinct()` removes the clusters stage's ONLY shuffle on the
+    * driver-finisher path (the canonical projection then runs as two
+    * narrow passes over the cached scored stage: count guard + collect).
+    * The union-find is duplicate-tolerant, so a hid-collision-induced
+    * duplicate string pair costs nothing; the distributed rounds re-dedup
+    * via [[dedupForRounds]] because their convergence fingerprint assumes
+    * a distinct edge set.
+    */
   private def canonicalize(edges: DataFrame,
-                           checkpoint: (DataFrame, Int) => DataFrame): DataFrame =
-    checkpoint(edges.select(
+                           checkpoint: (DataFrame, Int) => DataFrame,
+                           edgesDistinct: Boolean = false): DataFrame = {
+    val proj = edges.select(
       least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct(), -1)
+    if (edgesDistinct) proj else checkpoint(proj.distinct(), -1)
+  }
+
+  private def dedupForRounds(e: DataFrame,
+                             checkpoint: (DataFrame, Int) => DataFrame,
+                             edgesDistinct: Boolean): DataFrame =
+    if (edgesDistinct) checkpoint(e.distinct(), -1) else e
 
   /** The driver finisher reads ids as strings; non-string ids (valid for
     * the distributed path, which only needs an ordering) fall through to

@@ -154,7 +154,9 @@ object Pipeline {
       }
     }
 
-    val (pairsDf, droppedDf) = Blocking.pairsFromBlocks(blocks, cfg.maxBlockSize)
+    // shareAggregate only when the drop audit is materialized too (TableIO)
+    val (pairsDf, droppedDf) =
+      Blocking.pairsFromBlocks(blocks, cfg.maxBlockSize, shareAggregate = io.isDefined)
     val pairs = stage("pairs")(pairsDf)
     // dropped-blocks audit: a real snapshot table under TableIO (the
     // documented no-silent-caps artifact); in-memory runs keep it lazy —
@@ -200,7 +202,10 @@ object Pipeline {
       ConnectedComponents.runWithUniverse(edges, docs.select(col("conv_id")),
         checkpointFn,
         localMaxEdges =
-          if (io.isEmpty) ConnectedComponents.defaultLocalMaxEdges else 0L)
+          if (io.isEmpty) ConnectedComponents.defaultLocalMaxEdges else 0L,
+        // pair-dedup upstream guarantees distinct pairs → the finisher
+        // path skips CC's own distinct() shuffle entirely
+        edgesDistinct = true)
     }
 
     StageResult(clusters, dropped)

@@ -108,6 +108,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(viaJoin == attached)
   }
 
+  test("edgesDistinct contract: distinct input produces identical clusters on both paths") {
+    val rnd = new scala.util.Random(23)
+    val n = 80
+    val ids = (0 until n).map(i => f"d$i%03d")
+    val distinctEdges = (0 until 100)
+      .map(_ => (ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+    val df = distinctEdges.toDF("src", "dst")
+    val base = ConnectedComponents.run(df).as[(String, String)].collect().toMap
+    for (bound <- Seq(0L, 1000000L)) { // distributed and finisher paths
+      val got = ConnectedComponents.run(df, localMaxEdges = bound,
+        edgesDistinct = true).as[(String, String)].collect().toMap
+      assert(got == base, s"bound=$bound")
+    }
+  }
+
   test("numeric ids under localMaxEdges fall back to distributed rounds (no driver cast crash)") {
     val df = Seq((3L, 1L), (1L, 2L), (10L, 20L)).toDF("src", "dst")
     // round 2 threw ClassCastException in the driver finisher (getString on
