@@ -101,6 +101,11 @@ object Bench {
       else sys.props.getOrElse("java.io.tmpdir", "/tmp")
     try {
       val jar = classesJar()
+      // per-rep times ride into the JSON: the sandbox's interference
+      // bursts last whole reps (same config measured 45-169 s in round
+      // 3), so the rep spread is what lets a reader judge whether the
+      // min landed in a clean window
+      val repLog = scala.collection.mutable.Map.empty[Int, Seq[Double]]
       def measure(executors: Int): (Long, Double, Map[String, Double]) = {
         val s = SparkSession.builder()
           .master(s"local-cluster[$executors,$coresPer,8192]")
@@ -136,7 +141,9 @@ object Bench {
           // config 45-169 s), so the min needs enough samples to catch a
           // clean window; both configs get identical treatment
           BenchPipeline.timedRun(s, input)
-          (1 to 4).map(_ => BenchPipeline.timedRun(s, input)).minBy(_._2)
+          val reps = (1 to 4).map(_ => BenchPipeline.timedRun(s, input))
+          repLog(executors) = reps.map(_._2)
+          reps.minBy(_._2)
         } finally s.stop()
       }
       def stagesJson(st: Map[String, Double]): String =
@@ -147,10 +154,13 @@ object Bench {
       val thrLo = turnsLo / tLo
       val thrHi = turnsLo / tHi
       val eff = (thrHi / thrLo) / (exHi.toDouble / exLo)
+      def repsJson(ex: Int): String =
+        repLog.getOrElse(ex, Seq.empty).map(t => f"$t%.2f").mkString("[", ",", "]")
       f"""{"turns":$turnsLo,"executors_lo":$exLo,"executors_hi":$exHi,""" +
         f""""cores_per_executor":$coresPer,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,""" +
         f""""turns_per_sec_lo":$thrLo%.1f,"turns_per_sec_hi":$thrHi%.1f,""" +
         f""""scaling_efficiency":$eff%.3f,""" +
+        s""""reps_lo":${repsJson(exLo)},"reps_hi":${repsJson(exHi)},""" +
         s""""stages_lo":${stagesJson(stLo)},"stages_hi":${stagesJson(stHi)}}"""
     } catch {
       case e: Throwable =>

@@ -576,6 +576,48 @@ object SparkEntry {
           concat_ws("=", col("entity"), col("mention")))), " ").as("iset"),
           count(lit(1)).as("n"))
         .select(col("qid"), col("iset"), col("n"))
+    }),
+
+    // ---- set_sim: NLLR of the query vs the summed member term model
+    //      (query_sim_feat.py:186-199) over the shared LM fixture; sets =
+    //      candidates partitioned by entity % 3 ----
+    "q49_query_set_sim" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val docTf = LanguageModel.docTermFreqs(lmFielded(docs))
+      val q = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").as("qid"), slice(toks(col("text")), 1, 5).as("qtoks"),
+          col("lang"), col("source"))
+      val qterms = q
+        .select(col("qid"), size(col("qtoks")).as("qlen"), explode(col("qtoks")).as("term"))
+        .groupBy("qid", "qlen", "term").agg(count(lit(1)).as("qtf"))
+        .select("qid", "term", "qtf", "qlen")
+      val members = q.select(col("qid"), col("lang"), col("source"))
+        .join(docs.select(col("doc_id").as("entity"), col("lang"), col("source")),
+          Seq("lang", "source"))
+        .select(col("qid"), pmod(col("entity"), lit(3)).as("iset_id"), col("entity"))
+      IsfSets.querySetSim(members, qterms, docTf, MlmWeights)
+        .select(col("qid"), col("iset_id"), round(col("set_sim"), 4).as("set_sim"))
+    }),
+
+    // ---- context_sim: NLLR of the query context (first mention
+    //      occurrence sliced out, raw substring semantics) vs the
+    //      entity's contents-field LM (query_sim_feat.py:150-176) ----
+    "q50_context_sim" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val docTf = LanguageModel.docTermFreqs(lmFielded(docs))
+      val q = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(toks(col("text")), 1, 5), " ").as("qtext"),
+          element_at(toks(col("text")), 2).as("mention"),
+          col("lang"), col("source"))
+        .where(col("mention").isNotNull)
+      val cands = q
+        .join(docs.select(col("doc_id").as("entity"), col("lang"), col("source")),
+          Seq("lang", "source"))
+        .select(col("qid"), col("qtext"), col("mention"), col("entity"))
+      IsfSets.contextSim(cands, docTf, "contents")
+        .select(col("qid"), col("entity"), col("mention"),
+          round(col("context_sim"), 4).as("context_sim"))
     })
   )
 
@@ -1469,6 +1511,65 @@ object SparkEntry {
                    t -> t.entity || '=' || t.mention)), ' ') AS iset,
                  len(taken)::BIGINT AS n
           FROM final"""
-    }
+    },
+
+    "q49_query_set_sim" ->
+      s"""WITH $LM_TP,
+            mem AS (SELECT qid, entity, entity % 3 AS iset_id FROM cands),
+            settp AS (SELECT tp.qid, mem.iset_id, tp.term, tp.qtf, tp.qlen,
+                             sum(tp.p) AS p, any_value(tp.p_t_c) AS p_t_c
+                      FROM tp JOIN mem ON mem.qid = tp.qid AND mem.entity = tp.entity
+                      GROUP BY 1, 2, 3, 4, 5)
+          SELECT qid, iset_id,
+                 round(CASE WHEN sum(p) = 0 THEN 0
+                       ELSE exp(sum(CASE WHEN p > 0
+                                    THEN (qtf::DOUBLE / qlen) * (ln(p) - ln(p_t_c))
+                                    ELSE 0 END)) END, 4) AS set_sim
+          FROM settp GROUP BY 1, 2""",
+
+    "q50_context_sim" ->
+      s"""WITH dt AS (SELECT doc_id AS doc, unnest($TOKS) AS term FROM documents),
+            doc_tf AS (SELECT doc, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+            doc_len AS (SELECT doc, sum(tf) AS len_d FROM doc_tf GROUP BY 1),
+            coll_tf AS (SELECT term, sum(tf) AS cf FROM doc_tf GROUP BY 1),
+            coll AS (SELECT sum(tf) AS coll_len FROM doc_tf),
+            q AS (SELECT doc_id AS qid, array_to_string(t[1:5], ' ') AS qtext,
+                         t[2] AS mention, lang, source
+                  FROM (SELECT doc_id, $TOKS AS t, lang, source FROM documents)
+                  WHERE doc_id % 17 = 0 AND len(t) >= 2),
+            ctx AS (SELECT qid, mention,
+                           trim(qtext[1:instr(qtext, mention) - 1] ||
+                                qtext[instr(qtext, mention) + len(mention):]) AS context
+                    FROM q WHERE instr(qtext, mention) > 0),
+            cterms AS (SELECT qid, term, count(*) AS qtf FROM (
+                         SELECT qid, unnest(list_filter(string_split(context, ' '),
+                                            x -> x <> '')) AS term FROM ctx)
+                       GROUP BY 1, 2),
+            clen AS (SELECT qid, sum(qtf) AS qlen FROM cterms GROUP BY 1),
+            cands AS (SELECT q.qid, q.mention, d.doc_id AS entity
+                      FROM q JOIN documents d USING (lang, source)),
+            tp AS (SELECT c.qid, c.entity, t.term, t.qtf, cl.qlen,
+                          (0.9 * CASE WHEN coalesce(len_d, 0) > 0
+                                 THEN coalesce(tf, 0)::DOUBLE / len_d ELSE 0 END
+                           + 0.1 * CASE WHEN coll_len > 0
+                                 THEN coalesce(cf, 0)::DOUBLE / coll_len ELSE 0 END) AS p,
+                          (CASE WHEN coll_len > 0
+                                THEN coalesce(cf, 0)::DOUBLE / coll_len ELSE 0 END) AS p_t_c
+                   FROM cands c
+                   JOIN cterms t USING (qid)
+                   JOIN clen cl USING (qid)
+                   LEFT JOIN doc_tf ON doc_tf.doc = c.entity AND doc_tf.term = t.term
+                   LEFT JOIN doc_len ON doc_len.doc = c.entity
+                   LEFT JOIN coll_tf ON coll_tf.term = t.term
+                   CROSS JOIN coll),
+            scored AS (SELECT qid, entity,
+                              CASE WHEN sum(p) = 0 THEN 0
+                                   ELSE exp(sum(CASE WHEN p > 0
+                                            THEN (qtf::DOUBLE / qlen) * (ln(p) - ln(p_t_c))
+                                            ELSE 0 END)) END AS context_sim
+                       FROM tp GROUP BY 1, 2)
+          SELECT c.qid, c.entity, c.mention,
+                 round(coalesce(s.context_sim, 0), 4) AS context_sim
+          FROM cands c LEFT JOIN scored s USING (qid, entity)"""
   )
 }

@@ -206,6 +206,69 @@ object IsfSets {
     "score_min", "score_max", "score_avg",
     "irank_min", "irank_max", "irank_avg")
 
+  /** set_sim (query_set_sim, query_sim_feat.py:186-199): NLLR of the whole
+    * query against the set-level term model p(t|S) = Σ_{e∈S} p(t|θ_e) —
+    * member MLM term probabilities SUMMED per term, then the standard
+    * NLLR combine; None → 0.
+    *
+    * Shape: term probabilities are computed once per DISTINCT
+    * (qid, entity) — members repeat across the enumerated isets, so the
+    * expensive tf joins never multiply with the iset count; the per-iset
+    * work is one sum aggregate.
+    *
+    * members(qid, iset_id, entity) × qterms(qid, term, qtf, qlen) ×
+    * docTf → (qid, iset_id, set_sim).
+    */
+  def querySetSim(members: DataFrame, qterms: DataFrame, docTf: DataFrame,
+                  weights: Map[String, Double]): DataFrame = {
+    val pairs = members.select("qid", "entity").distinct()
+    val tp = LanguageModel.mlmTermProbs(pairs, qterms, docTf, weights)
+    val setTp = members.select("qid", "iset_id", "entity")
+      .join(tp, Seq("qid", "entity"))
+      .groupBy("qid", "iset_id", "term", "qtf", "qlen")
+      // p_t_c is entity-independent: first() is exact, not arbitrary
+      .agg(sum("p").as("p"), first("p_t_c").as("p_t_c"))
+    LanguageModel.nllrScore(setTp.withColumnRenamed("iset_id", "entity"))
+      .select(col("qid"), col("entity").as("iset_id"),
+        LanguageModel.none_score_zero(col("nllr")).as("set_sim"))
+  }
+
+  /** context_sim (query_sim_feat.py:150-176): NLLR of the query CONTEXT —
+    * the query with the first occurrence of the mention sliced out, raw
+    * substring semantics exactly like the reference's `re.search` span
+    * removal — against the entity's single-field LM (weight 1). A
+    * mention absent from the query (the reference raises) or an
+    * all-zero-probability context scores 0.
+    *
+    * cands(qid, qtext, mention, entity) × docTf →
+    * (qid, entity, mention, context_sim).
+    */
+  def contextSim(cands: DataFrame, docTf: DataFrame,
+                 field: String = "contents"): DataFrame = {
+    val base = cands.select("qid", "qtext", "mention", "entity").distinct()
+      .withColumn("_pos", call_function("instr", col("qtext"), col("mention")))
+      .withColumn("context", when(col("_pos") > 0, trim(concat(
+        call_function("substring", col("qtext"), lit(1), col("_pos") - 1),
+        call_function("substring", col("qtext"),
+          col("_pos") + length(col("mention")), length(col("qtext")))))))
+      .withColumn("ckey", concat_ws("#", col("qid"), col("entity"), col("mention")))
+    val terms = base
+      .select(col("ckey"), explode(split(col("context"), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("ckey", "term").agg(count(lit(1)).as("qtf"))
+    val qlen = terms.groupBy("ckey").agg(sum("qtf").as("qlen"))
+    val cterms = terms.join(qlen, "ckey")
+      .select(col("ckey").as("qid"), col("term"), col("qtf"), col("qlen"))
+    val tp = LanguageModel.mlmTermProbs(
+      base.select(col("ckey").as("qid"), col("entity")).distinct(),
+      cterms, docTf, Map(field -> 1.0))
+    val scored = LanguageModel.nllrScore(tp)
+      .select(col("qid").as("ckey"), col("entity"), col("nllr"))
+    base.join(scored, Seq("ckey", "entity"), "left")
+      .select(col("qid"), col("entity"), col("mention"),
+        LanguageModel.none_score_zero(col("nllr")).as("context_sim"))
+  }
+
   /** Emission shape for [[graft.sources.Readers.writeErdEval]]: members of
     * the isets the classifier kept (predicted P(1) ≥ 0.5 — the reference
     * uses the classifier's own predicted label, erd_app.py:110 →
