@@ -141,7 +141,11 @@ object Bench {
           // config 45-169 s), so the min needs enough samples to catch a
           // clean window; both configs get identical treatment
           BenchPipeline.timedRun(s, input)
-          val reps = (1 to 4).map(_ => BenchPipeline.timedRun(s, input))
+          // 5 reps: a 4-rep probe this round caught ONE clean window in
+          // four (50.6 / 74.0 / 83.4 / 81.7 s at [8,2]) — with whole-rep
+          // bursts the min estimator needs the extra sample; both configs
+          // get identical treatment
+          val reps = (1 to 5).map(_ => BenchPipeline.timedRun(s, input))
           repLog(executors) = reps.map(_._2)
           reps.minBy(_._2)
         } finally s.stop()
