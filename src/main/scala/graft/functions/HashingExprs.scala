@@ -12,26 +12,42 @@ import org.apache.spark.sql.types._
   * the LSH stage stays inside whole-stage codegen with zero boxed
   * allocation per row.
   */
+/** Shared input contract for the shingle-family expressions: STRING tokens
+  * (hash the bytes) or PRE-HASHED 64-bit tokens (chain `hashLong` — the
+  * bandwidth-light path where docs materialize token hashes once).
+  */
+private[functions] trait TokenArrayInput extends UnaryExpression {
+  protected def opName: String
+  override final def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$opName requires array<string> or array<bigint>, got $other")
+  }
+  protected final def preHashed: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
+}
+
 case class MinHashBandKeysExpr(child: Expression, shingleK: Int, numHashes: Int,
-                               bands: Int) extends UnaryExpression {
+                               bands: Int) extends UnaryExpression with TokenArrayInput {
   require(numHashes % bands == 0, s"numHashes $numHashes not divisible by bands $bands")
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_band_keys requires array<string>, got $other")
-  }
-
+  override protected def opName: String = "minhash_band_keys"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_band_keys"
 
   override protected def nullSafeEval(input: Any): Any =
-    HashingKernels.minhashBandKeys(input.asInstanceOf[ArrayData], shingleK, numHashes, bands)
+    if (preHashed)
+      HashingKernels.minhashBandKeysFromHashes(input.asInstanceOf[ArrayData], shingleK, numHashes, bands)
+    else
+      HashingKernels.minhashBandKeys(input.asInstanceOf[ArrayData], shingleK, numHashes, bands)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (preHashed) "minhashBandKeysFromHashes" else "minhashBandKeys"
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HashingKernels.minhashBandKeys($c, $shingleK, $numHashes, $bands)")
+      s"graft.functions.HashingKernels.$fn($c, $shingleK, $numHashes, $bands)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -116,25 +132,25 @@ case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
 }
 
 case class ShingleHashesExpr(child: Expression, k: Int, seed: Long,
-                             distinct: Boolean) extends UnaryExpression {
+                             distinct: Boolean) extends UnaryExpression with TokenArrayInput {
   require(k >= 1, s"shingle size k=$k must be >= 1")
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"shingle_hashes requires array<string>, got $other")
-  }
-
+  override protected def opName: String = "shingle_hashes"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    HashingKernels.shingleHashes(input.asInstanceOf[ArrayData], k, seed, distinct)
+    if (preHashed)
+      HashingKernels.shingleHashesFromHashes(input.asInstanceOf[ArrayData], k, seed, distinct)
+    else
+      HashingKernels.shingleHashes(input.asInstanceOf[ArrayData], k, seed, distinct)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (preHashed) "shingleHashesFromHashes" else "shingleHashes"
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HashingKernels.shingleHashes($c, $k, ${seed}L, $distinct)")
+      s"graft.functions.HashingKernels.$fn($c, $k, ${seed}L, $distinct)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -146,25 +162,25 @@ case class ShingleHashesExpr(child: Expression, k: Int, seed: Long,
   * recall guarantee.
   */
 case class WinnowedShingleHashesExpr(child: Expression, k: Int, w: Int,
-                                     seed: Long) extends UnaryExpression {
+                                     seed: Long) extends UnaryExpression with TokenArrayInput {
   require(k >= 1 && w >= 1, s"shingle k=$k and window w=$w must be >= 1")
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"winnowed_shingle_hashes requires array<string>, got $other")
-  }
-
+  override protected def opName: String = "winnowed_shingle_hashes"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "winnowed_shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    HashingKernels.winnowedShingleHashes(input.asInstanceOf[ArrayData], k, w, seed)
+    if (preHashed)
+      HashingKernels.winnowedShingleHashesFromHashes(input.asInstanceOf[ArrayData], k, w, seed)
+    else
+      HashingKernels.winnowedShingleHashes(input.asInstanceOf[ArrayData], k, w, seed)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (preHashed) "winnowedShingleHashesFromHashes" else "winnowedShingleHashes"
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HashingKernels.winnowedShingleHashes($c, $k, $w, ${seed}L)")
+      s"graft.functions.HashingKernels.$fn($c, $k, $w, ${seed}L)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

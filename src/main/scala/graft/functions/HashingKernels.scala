@@ -25,18 +25,15 @@ object HashingKernels {
     */
   private val EmptyLongs = Array.empty[Long]
 
-  def minhashBandKeys(toks: ArrayData, k: Int, numHashes: Int, bands: Int): ArrayData = {
+  /** Positional k-shingle chain-hash sequence over STRING tokens. */
+  private def shingleHashSeq(toks: ArrayData, k: Int, seed: Long): Array[Long] = {
     val n = toks.numElements()
-    // zero tokens → zero keys: an empty doc is unblockable, not a member
-    // of every band bucket (which would make punctuation-only docs a hot
-    // key AND pair them all with each other)
-    if (n == 0) return new GenericArrayData(EmptyLongs)
-    val mins = new Array[Long](numHashes)
-    java.util.Arrays.fill(mins, Long.MaxValue)
+    if (n == 0) return EmptyLongs
     val nSh = if (n <= k) 1 else n - k + 1 // short docs: one whole-doc shingle
+    val hs = new Array[Long](nSh)
     var i = 0
     while (i < nSh) {
-      var h = ShingleSeed
+      var h = seed
       var j = i
       val end = math.min(i + k, n)
       while (j < end) {
@@ -44,9 +41,50 @@ object HashingKernels {
         h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h)
         j += 1
       }
+      hs(i) = h
+      i += 1
+    }
+    hs
+  }
+
+  /** Positional k-shingle hash sequence over PRE-HASHED tokens
+    * (array<long>): one `XXH64.hashLong` per token instead of re-hashing
+    * token bytes. This is the 100-TB path — docs materialize 64-bit token
+    * hashes ONCE at assembly, and every blocking/verify consumer streams
+    * 8 bytes/token from cache instead of the string payload (the blocks
+    * stage is bandwidth-bound, BASELINE.md round 3). Different hash family
+    * than the string chain (internal keys — nothing requires them equal).
+    */
+  private def shingleHashSeqFromHashes(tokH: ArrayData, k: Int, seed: Long): Array[Long] = {
+    val n = tokH.numElements()
+    if (n == 0) return EmptyLongs
+    val nSh = if (n <= k) 1 else n - k + 1
+    val hs = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var h = seed
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) { h = XXH64.hashLong(tokH.getLong(j), h); j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    hs
+  }
+
+  /** MinHash slots + band fold over a positional shingle-hash sequence. */
+  private def bandKeysFromSeq(hs: Array[Long], numHashes: Int, bands: Int): ArrayData = {
+    // zero shingles → zero keys: an empty doc is unblockable, not a member
+    // of every band bucket (which would make punctuation-only docs a hot
+    // key AND pair them all with each other)
+    if (hs.length == 0) return new GenericArrayData(EmptyLongs)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
       var s = 0
       while (s < numHashes) {
-        val g = XXH64.hashLong(h, s)
+        val g = XXH64.hashLong(hs(i), s)
         if (g < mins(s)) mins(s) = g
         s += 1
       }
@@ -65,6 +103,13 @@ object HashingKernels {
     }
     new GenericArrayData(out)
   }
+
+  def minhashBandKeys(toks: ArrayData, k: Int, numHashes: Int, bands: Int): ArrayData =
+    bandKeysFromSeq(shingleHashSeq(toks, k, ShingleSeed), numHashes, bands)
+
+  def minhashBandKeysFromHashes(tokH: ArrayData, k: Int, numHashes: Int,
+                                bands: Int): ArrayData =
+    bandKeysFromSeq(shingleHashSeqFromHashes(tokH, k, ShingleSeed), numHashes, bands)
 
   /** All word n-grams of lengths 1..maxN, space-joined, in order — the
     * reference's all-lengths n-gram generator (query.py:72-86) as a single
@@ -145,37 +190,27 @@ object HashingKernels {
     * hash families (exact-shingle block keys must not collide with LSH
     * band keys in hybrid blocking).
     */
-  def shingleHashes(toks: ArrayData, k: Int, seed: Long, distinct: Boolean): ArrayData = {
-    val n = toks.numElements()
-    // zero tokens → empty set (NOT a [seed] sentinel): two docs that both
-    // normalize to nothing must score token_jaccard 0.0, not 1.0, and an
-    // empty doc must not carry a shared block key
-    if (n == 0) return new GenericArrayData(EmptyLongs)
-    val nSh = if (n <= k) 1 else n - k + 1
-    val out = new Array[Long](nSh)
-    var i = 0
-    while (i < nSh) {
-      var h = seed
-      var j = i
-      val end = math.min(i + k, n)
-      while (j < end) {
-        val t = toks.getUTF8String(j)
-        h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h)
-        j += 1
-      }
-      out(i) = h
-      i += 1
-    }
+  private def maybeDedup(out: Array[Long], distinct: Boolean): ArrayData = {
     if (!distinct) return new GenericArrayData(out)
     java.util.Arrays.sort(out)
     var w = 0
     var r = 0
-    while (r < nSh) {
+    while (r < out.length) {
       if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
       r += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
+
+  // zero tokens → empty set (NOT a [seed] sentinel): two docs that both
+  // normalize to nothing must score token_jaccard 0.0, not 1.0, and an
+  // empty doc must not carry a shared block key
+  def shingleHashes(toks: ArrayData, k: Int, seed: Long, distinct: Boolean): ArrayData =
+    maybeDedup(shingleHashSeq(toks, k, seed), distinct)
+
+  def shingleHashesFromHashes(tokH: ArrayData, k: Int, seed: Long,
+                              distinct: Boolean): ArrayData =
+    maybeDedup(shingleHashSeqFromHashes(tokH, k, seed), distinct)
 
   /** Robust winnowing over the positional k-shingle hash sequence
     * (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms for
@@ -188,34 +223,19 @@ object HashingKernels {
     * (and the cross-block redundant pair enumeration with them) while
     * keeping long-run recall.
     */
-  def winnowedShingleHashes(toks: ArrayData, k: Int, w: Int, seed: Long): ArrayData = {
-    val n = toks.numElements()
-    if (n == 0) return new GenericArrayData(EmptyLongs) // see shingleHashes
-    val nSh = if (n <= k) 1 else n - k + 1
-    val hs = new Array[Long](nSh)
-    var i = 0
-    while (i < nSh) {
-      var h = seed
-      var j = i
-      val end = math.min(i + k, n)
-      while (j < end) {
-        val t = toks.getUTF8String(j)
-        h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h)
-        j += 1
-      }
-      hs(i) = h
-      i += 1
-    }
+  private def winnowFromSeq(hs: Array[Long], w: Int): ArrayData = {
+    val nSh = hs.length
+    if (nSh == 0) return new GenericArrayData(EmptyLongs) // see shingleHashes
     if (nSh <= w) { // short doc: one global fingerprint
       var m = hs(0)
-      i = 1
+      var i = 1
       while (i < nSh) { if (hs(i) < m) m = hs(i); i += 1 }
       return new GenericArrayData(Array(m))
     }
     val sel = new Array[Long](nSh - w + 1)
     var cnt = 0
     var prevPos = -1
-    i = 0
+    var i = 0
     while (i + w <= nSh) {
       var mp = i // rightmost min of hs[i, i+w)
       var j = i + 1
@@ -232,6 +252,13 @@ object HashingKernels {
     }
     new GenericArrayData(java.util.Arrays.copyOf(sel, wr))
   }
+
+  def winnowedShingleHashes(toks: ArrayData, k: Int, w: Int, seed: Long): ArrayData =
+    winnowFromSeq(shingleHashSeq(toks, k, seed), w)
+
+  def winnowedShingleHashesFromHashes(tokH: ArrayData, k: Int, w: Int,
+                                      seed: Long): ArrayData =
+    winnowFromSeq(shingleHashSeqFromHashes(tokH, k, seed), w)
 
   /** All unordered pairs (a < b) of a member array, sorted — the pair
     * enumeration inside a capped block. Output: array<struct<a,b>>.

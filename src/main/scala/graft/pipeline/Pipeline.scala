@@ -66,10 +66,11 @@ object Pipeline {
     * is stored as a one-row table in the same snapshot layout.
     */
   /** Bumped whenever a stage's snapshot SCHEMA changes (v2: docs carry the
-    * hid pair-key column) so resume against snapshots written by an older
+    * hid pair-key column; v3: docs carry `tokh` token hashes instead of
+    * token strings) so resume against snapshots written by an older
     * layout fails loudly at the fingerprint check, not mid-plan.
     */
-  private val SnapshotLayoutVersion = 2
+  private val SnapshotLayoutVersion = 3
 
   private def validateConfigFingerprint(t: TableIO, cfg: Config,
                                         spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -136,13 +137,21 @@ object Pipeline {
     // loss of probability ≈ n²/2⁶⁵ (~3·10⁻⁶ expected colliding pairs at
     // 10¹² docs; those ids still co-cluster if linked through a third
     // member). Bounded and documented, not zero.
+    // `tokh` = positional 64-bit token hashes, materialized ONCE here:
+    // every downstream consumer (blocking kernels, the scoring verify
+    // set) streams 8 bytes/token from the cached stage instead of the
+    // token strings — the blocks stage is bandwidth-bound (BASELINE.md
+    // round 3: 0.72 stage efficiency on token-array scans), and the
+    // cached docs payload shrinks by the whole string column.
     val docs = stage("docs")(
       DocAssembly.assemble(transcripts).select(
-        col("conv_id"), col("tokens"),
+        col("conv_id"),
+        graft.functions.shingle_hashes(col("tokens"), 1, distinct = false)
+          .as("tokh"),
         substring(col("norm_text"), 1, cfg.prefixChars).as("prefix"),
         xxhash64(col("conv_id")).as("hid")))
 
-    val blockInput = docs.select(col("hid").as("conv_id"), col("tokens"))
+    val blockInput = docs.select(col("hid").as("conv_id"), col("tokh").as("tokens"))
     val blocks = stage("blocks") {
       cfg.blocking match {
         case ExactBlocking => Blocking.exactShingleBlocks(blockInput, cfg.shingleK)

@@ -54,10 +54,15 @@ object Scoring {
     // and long equality beats string hashing in the intersect kernel —
     // measured 182 s → (see BENCH) on 733k pairs at local-cluster[1,4].
     // Collision risk per pair ≈ |toks|²/2⁶⁵ — immaterial to a ratio.
+    // Docs that already carry positional token hashes (`tokh`, the
+    // pipeline's bandwidth-light payload) just dedup them.
+    val tokSetCol =
+      if (docs.columns.contains("tokh")) array_distinct(col("tokh"))
+      else shingle_hashes(col("tokens"), 1)
     val feat = docs.select(
       col(pairIdCol).as("k"),
       col("conv_id").as("id"),
-      shingle_hashes(col("tokens"), 1).as("tok_set"),
+      tokSetCol.as("tok_set"),
       prefixCol.as("prefix"))
 
     val a = feat.select(col("k").as("conv_a"), col("id").as("id_a"),

@@ -202,6 +202,62 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("pre-hashed token input: shingle family keeps its invariants on array<long>") {
+    val rnd = new scala.util.Random(31)
+    def doc(n: Int): Seq[String] = Seq.fill(n)("t" + rnd.nextInt(500))
+    // token-hash materialization: the pipeline's docs-stage payload
+    def tokh(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      shingle_hashes(toks, 1, distinct = false)
+
+    for (_ <- 0 until 15) {
+      val a = doc(30 + rnd.nextInt(80))
+      val df = Seq(Tuple1(a)).toDF("t").select(tokh(tokens(array_join($"t", " "))).as("h"),
+        tokens(array_join($"t", " ")).as("s"))
+      // positional hash count == token count; equal tokens ⇒ equal hashes
+      val (hs, ss) = df.select($"h", $"s").as[(Seq[Long], Seq[String])].head()
+      assert(hs.length == ss.length)
+      assert(ss.zip(hs).toMap.size == ss.distinct.size) // token → hash functional
+
+      // k-shingle hashes over pre-hashed tokens: same cardinality structure
+      // as the string path (positional count, distinct dedup), long input
+      val full = df.select(shingle_hashes($"h", 3, 7L)).as[Seq[Long]].head()
+      val fullStr = df.select(shingle_hashes($"s", 3, 7L)).as[Seq[Long]].head()
+      assert(full.length == fullStr.length) // same shingle positions survive dedup
+
+      // winnow on long input: subset + w=1 degeneracy
+      val win = df.select(winnowed_shingle_hashes($"h", 3, 8, 7L)).as[Seq[Long]].head()
+      assert(win.nonEmpty && win.toSet.subsetOf(full.toSet))
+      val w1 = df.select(winnowed_shingle_hashes($"h", 3, 1, 7L)).as[Seq[Long]].head().toSet
+      assert(w1 == full.toSet)
+
+      // minhash bands on long input: band count, determinism
+      val b1 = df.select(minhash_band_keys($"h", 2, 16, 4)).as[Seq[Long]].head()
+      val b2 = df.select(minhash_band_keys($"h", 2, 16, 4)).as[Seq[Long]].head()
+      assert(b1.length == 4 && b1 == b2)
+    }
+
+    // the guarantees that make blocking correct hold on the long path:
+    // shared (w+k−1)-token run ⇒ shared winnow fingerprint AND shared
+    // exact-shingle key; identical docs ⇒ identical band keys
+    for (_ <- 0 until 15) {
+      val shared = doc(10)
+      val mk = (s: Seq[String]) => Seq(Tuple1(s)).toDF("t")
+        .select(tokh(tokens(array_join($"t", " "))).as("h"))
+      val a = mk(doc(rnd.nextInt(50)) ++ shared ++ doc(rnd.nextInt(50)))
+      val b = mk(doc(rnd.nextInt(50)) ++ shared ++ doc(rnd.nextInt(50)))
+      val fa = a.select(winnowed_shingle_hashes($"h", 3, 8, 7L)).as[Seq[Long]].head().toSet
+      val fb = b.select(winnowed_shingle_hashes($"h", 3, 8, 7L)).as[Seq[Long]].head().toSet
+      assert(fa.intersect(fb).nonEmpty, "shared run lost on the pre-hashed path")
+    }
+
+    // empty docs stay unblockable on the long path
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("t")
+      .select(tokh($"t").as("h"))
+    assert(empty.select(shingle_hashes($"h", 3)).as[Seq[Long]].head().isEmpty)
+    assert(empty.select(winnowed_shingle_hashes($"h", 3, 8)).as[Seq[Long]].head().isEmpty)
+    assert(empty.select(minhash_band_keys($"h", 2, 16, 4)).as[Seq[Long]].head().isEmpty)
+  }
+
   test("Myers bit-parallel levenshtein ≡ banded DP across block boundaries (fuzz)") {
     import graft.functions.SimilarityKernels.{levenshteinCp, levenshteinMyersCp}
     val rnd = new scala.util.Random(11)
