@@ -107,6 +107,42 @@ class IsfSetsSpec extends SparkSpec {
     assert(d("commonness_min") == 0.25 && d("commonness_max") == 0.5)
   }
 
+  test("fullFeatures: graph + FACC set features join in with the reference conventions") {
+    val members = Seq(
+      ("q1", "alpha beta", 0, "E1", "alpha", 0.9, 1, 0.6),
+      ("q1", "alpha beta", 0, "E2", "beta", 0.7, 2, 0.4),
+      ("q1", "alpha beta", 1, "E1", "alpha", 0.9, 1, 0.6))
+      .toDF("qid", "qtext", "iset_id", "entity", "mention", "score", "rnk", "cmn")
+    val links = Seq(
+      ("E1", Seq("E2", "X")), ("E2", Seq("X")))
+      .toDF("entity", "links")
+    val facc = Seq(("D1", "E1"), ("D1", "E2"), ("D2", "E1"))
+      .toDF("doc_id", "entity")
+    val out = IsfSets.fullFeatures(members, Some(links), Some((facc, 4L)))
+      .collect().map(r => r.getInt(r.fieldIndex("iset_id")) -> r).toMap
+    def d(i: Int, c: String) = { val r = out(i); r.getDouble(r.fieldIndex(c)) }
+    // pair set {E1, E2}: one KB edge (E2 ∈ links(E1)) → completeness 1;
+    // common neighbor X only → j_kb = 1/2; FACC: and=|{D1}|=1, or=2,
+    // jc=0.5; mw = 1 − (ln2−ln1)/(ln4−ln1) = 0.5; p = 1/4
+    assert(d(0, "completeness") == 1.0)
+    assert(d(0, "common_links") == 1.0 && d(0, "total_links") == 2.0)
+    assert(d(0, "j_kb") == 0.5)
+    assert(d(0, "j_corpora") == 0.5)
+    assert(math.abs(d(0, "rel_mw") - 0.5) < 1e-12)
+    assert(math.abs(d(0, "p_joint") - 0.25) < 1e-12)
+    assert(math.abs(d(0, "h_joint") -
+      (-(0.25 * math.log(0.25)) - 0.75 * math.log(0.75))) < 1e-12)
+    // singleton {E1}: reference conventions — graph common/jc −1,
+    // completeness 1; FACC jc/mw −1; joint prob = freq(E1)/numDocs
+    assert(d(1, "common_links") == -1.0 && d(1, "j_kb") == -1.0)
+    assert(d(1, "completeness") == 1.0)
+    assert(d(1, "j_corpora") == -1.0 && d(1, "rel_mw") == -1.0)
+    assert(math.abs(d(1, "p_joint") - 0.5) < 1e-12)
+    // aggregates still present alongside
+    assert(d(0, "n") == 2.0 && d(1, "n") == 1.0)
+    assert(math.abs(d(0, "len_ratio_set") - 1.0) < 1e-12)
+  }
+
   test("labelByGt: exact (entity, mention) set equality only") {
     val members = Seq(
       ("q1", "t", 0, "E1", "a", 0.9, 1, 0.9), // matches gt set 0
