@@ -82,7 +82,7 @@ object StrictEval {
     require(!qQids.join(rQids, Seq("qid"), "left_semi").isEmpty,
       "query mismatch between qrel and result file (no qid overlap)")
     val per = perQuery(qQids, qSets, rSets)
-    val row = per.agg(avg("prec"), avg("rec"), count(lit(1))).head
+    val row = per.agg(avg("prec"), avg("rec"), count(lit(1))).head()
     val (p, r, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
     val f = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
     Result(p, r, f, n)

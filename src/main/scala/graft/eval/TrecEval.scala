@@ -65,7 +65,7 @@ object TrecEval {
         coalesce(col("rr"), lit(0d)).as("rr"),
         (coalesce(col("n_hits"), lit(0d)) / col("n_rel")).as("recall"))
       .agg(avg("ap"), avg("p5"), avg("rr"), avg("recall"), count(lit(1)))
-      .head
+      .head()
     Result(row.getDouble(0), row.getDouble(1), row.getDouble(2),
       row.getDouble(3), row.getLong(4))
   }

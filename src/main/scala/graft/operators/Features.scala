@@ -283,7 +283,7 @@ object Features {
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField("ins_id",
           org.apache.spark.sql.types.LongType, nullable = false))
-    val withId = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val withId = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(withId, schema).drop("_src")

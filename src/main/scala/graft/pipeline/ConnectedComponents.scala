@@ -230,7 +230,7 @@ object ConnectedComponents {
     while (iter < maxIter && !converged) {
       e = checkpoint(smallStar(largeStar(e)), iter)
       // order-independent fingerprint; bit_xor can't overflow (edge set is distinct)
-      val row = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
+      val row = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
       val fp = (row.getLong(0), row.getLong(1))
       onRound(iter, fp._1, fp._2)
       converged = fp == fingerprint

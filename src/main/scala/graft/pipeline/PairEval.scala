@@ -37,7 +37,7 @@ object PairEval {
       cnt(col("label") === 1 && col("same")).as("tp"),
       cnt(col("label") === 0 && col("same")).as("fp"),
       cnt(col("label") === 1 && !col("same")).as("fn"),
-      cnt(col("label") === 0 && !col("same")).as("tn")).head
+      cnt(col("label") === 0 && !col("same")).as("tn")).head()
     Result(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
   }
 }

@@ -76,7 +76,7 @@ object Pipeline {
                                         spark: org.apache.spark.sql.SparkSession): Unit = {
     val fp = s"v$SnapshotLayoutVersion:$cfg"
     if (t.exists("config_fingerprint")) {
-      val stored = t.read("config_fingerprint").head.getString(0)
+      val stored = t.read("config_fingerprint").head().getString(0)
       require(stored == fp,
         s"TableIO root holds snapshots for a different Config:\n  stored: $stored\n" +
           s"  this:   $fp\nuse a fresh root (or delete the stale snapshots)")

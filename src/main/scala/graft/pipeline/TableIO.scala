@@ -69,7 +69,7 @@ final class ParquetTableIO(spark: SparkSession, root: String) extends TableIO {
     val m = df
       .groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("rows"),
-        coalesce(bit_xor(xxhash64(struct(df.columns.map(col): _*))), lit(0L)).as("checksum"))
+        coalesce(bit_xor(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))), lit(0L)).as("checksum"))
       .withColumn("table", lit(table))
       .withColumn("stage", lit(stage))
     m.write.mode("append").parquet(s"$root/_metrics")

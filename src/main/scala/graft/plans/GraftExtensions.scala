@@ -34,7 +34,7 @@ object GraftExtensions {
     (FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo("graft.functions.JaroWinklerExpr", null, "jaro_winkler",
         "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings in [0,1].",
-        ""),
+        "", "", "", "string_funcs", "", "", "built-in"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "jaro_winkler requires exactly 2 arguments")
         JaroWinklerExpr(children.head, children(1))

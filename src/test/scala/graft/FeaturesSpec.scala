@@ -192,7 +192,7 @@ class FeaturesSpec extends SparkSpec {
   test("ERD annotation reader parses the 5-col reference fixture") {
     val ann = Readers.readErdAnnotations(spark, "/root/reference/data/Trec_beta.annotation.txt")
     assert(ann.columns.toSeq == Seq("qid", "set_id", "freebase_id", "mention", "label"))
-    val first = ann.where($"qid" === "TREC-7").head
+    val first = ann.where($"qid" === "TREC-7").head()
     assert(first.getString(2) == "/m/04cnvy" && first.getString(3) == "bowflex")
     assert(ann.count() > 50)
   }
@@ -204,7 +204,7 @@ class FeaturesSpec extends SparkSpec {
       uri_to_name(lit("<dbpedia:Charleston,_South_Carolina>")).as("n1"),
       uri_to_name(lit("<dbpedia:Category:Some_Thing>")).as("n2"),
       uri_to_name(lit("plain text")).as("n3"),
-      percent_decode(lit("a%2Fb%20c")).as("dec")).head
+      percent_decode(lit("a%2Fb%20c")).as("dec")).head()
     assert(out.getString(0) == "<fb:m.02_286>")
     assert(out.getString(1) == "/m/02_286")
     assert(out.getString(2) == "Charleston, South Carolina")
@@ -212,7 +212,7 @@ class FeaturesSpec extends SparkSpec {
     assert(out.getString(4) == "plain text")
     assert(out.getString(5) == "a/b c")
     // invalid ids → null (the reference raises)
-    val bad = Seq("x/02").toDF("id").select(fb_id_to_uri($"id")).head
+    val bad = Seq("x/02").toDF("id").select(fb_id_to_uri($"id")).head()
     assert(bad.isNullAt(0))
   }
 
