@@ -17,28 +17,48 @@ import org.apache.spark.sql.functions.udaf
   * aggregation state provably bounded — the property the old count-first
   * pass existed to guarantee.
   *
-  * The buffer is a sorted distinct Vector: reduce = binary-search insert
-  * (saturates at cap + 1, then short-circuits), merge = bounded sorted
-  * merge. Output order is ascending — callers that enumerate pairs sort
-  * members anyway (canonical conv_a < conv_b).
+  * The buffer is a sorted distinct primitive `Array[Long]`: reduce =
+  * binary-search + copy-insert (saturates at cap + 1, then
+  * short-circuits), merge = bounded sorted merge. Primitive arrays matter
+  * here: this aggregate runs once per (block_key) group — tens of millions
+  * of groups per pipeline run with barely any map-side combining (a
+  * block's members are scattered across doc-ordered input partitions), so
+  * the partial-buffer encoder runs per input row. `Array[Long]`
+  * serializes via the primitive-array fast path (no per-element boxing),
+  * where the previous `Vector[Long]` buffer boxed every element on every
+  * insert and every encode — the allocation behind the pairs map stage's
+  * 7.7% GC share in the round-4 event-log post-mortem (BASELINE.md; the
+  * interleaved A/B at 6.7M turns measured the swap within host noise —
+  * kept for the strictly lighter per-row allocation). Output order is
+  * ascending — callers that enumerate pairs need sorted members
+  * (canonical conv_a < conv_b).
   */
 class BoundedCollectSet(capPlusOne: Int)
-    extends Aggregator[Long, Vector[Long], Seq[Long]] {
+    extends Aggregator[Long, Array[Long], Array[Long]] {
 
-  override def zero: Vector[Long] = Vector.empty
+  private val Empty = Array.emptyLongArray
 
-  override def reduce(b: Vector[Long], a: Long): Vector[Long] = {
+  override def zero: Array[Long] = Empty
+
+  override def reduce(b: Array[Long], a: Long): Array[Long] = {
     if (b.length >= capPlusOne) return b // saturated: block already oversize
-    val i = binSearch(b, a)
-    if (i >= 0) b else b.patch(-i - 1, Vector(a), 0)
+    val i = java.util.Arrays.binarySearch(b, a)
+    if (i >= 0) return b
+    val at = -i - 1
+    val out = new Array[Long](b.length + 1)
+    System.arraycopy(b, 0, out, 0, at)
+    out(at) = a
+    System.arraycopy(b, at, out, at + 1, b.length - at)
+    out
   }
 
-  override def merge(x: Vector[Long], y: Vector[Long]): Vector[Long] = {
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
     if (x.isEmpty) return y
     if (y.isEmpty) return x
-    val out = Vector.newBuilder[Long]
+    val out = new Array[Long](math.min(capPlusOne, x.length + y.length))
     var n = 0
-    var (i, j) = (0, 0)
+    var i = 0
+    var j = 0
     while (n < capPlusOne && (i < x.length || j < y.length)) {
       val v =
         if (j >= y.length) { val v = x(i); i += 1; v }
@@ -46,31 +66,18 @@ class BoundedCollectSet(capPlusOne: Int)
         else if (x(i) < y(j)) { val v = x(i); i += 1; v }
         else if (x(i) > y(j)) { val v = y(j); j += 1; v }
         else { val v = x(i); i += 1; j += 1; v }
-      out += v
+      out(n) = v
       n += 1
     }
-    out.result()
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
 
-  override def finish(r: Vector[Long]): Seq[Long] = r
+  override def finish(r: Array[Long]): Array[Long] = r
 
-  private def binSearch(b: Vector[Long], a: Long): Int = {
-    var lo = 0
-    var hi = b.length - 1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      val v = b(mid)
-      if (v == a) return mid
-      else if (v < a) lo = mid + 1
-      else hi = mid - 1
-    }
-    -(lo + 1)
-  }
-
-  override def bufferEncoder: Encoder[Vector[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[Long]]()
-  override def outputEncoder: Encoder[Seq[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
 
 object BoundedCollectSet {

@@ -117,7 +117,16 @@ object Ltr {
     */
   def applyRf(model: org.apache.spark.ml.Model[_] with org.apache.spark.ml.param.shared.HasFeaturesCol,
               df: DataFrame, featureCols: Seq[String]): DataFrame =
+    // copy() strips the trainingSummary a fresh fit() attaches (verified:
+    // RF/GBT copy = copyValues + setParent only). The summary holds a
+    // SparkSession reference, so transform's prediction UDF would drag
+    // the session into the task closure — which java-serializes only
+    // while every lazy session field happens to be null (touching
+    // Dataset.observe anywhere in the JVM materializes the non-
+    // serializable ObservationManager and breaks it). A model shipped to
+    // executors must never reference the session.
     model.asInstanceOf[org.apache.spark.ml.Transformer]
+      .copy(org.apache.spark.ml.param.ParamMap.empty)
       .transform(assembler(featureCols.sorted).transform(df))
       .withColumn("score", vector_to_array(col("probability"))(1))
       .drop("features", "rawPrediction", "probability", "prediction")

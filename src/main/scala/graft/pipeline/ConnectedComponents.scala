@@ -66,9 +66,15 @@ object ConnectedComponents {
           maxIter: Int = 50,
           onRound: (Int, Long, Long) => Unit = (_, _, _) => (),
           localMaxEdges: Long = 0L,
-          edgesDistinct: Boolean = false): DataFrame = {
+          edgesDistinct: Boolean = false,
+          // a caller-supplied upper bound on the canonical edge count
+          // (e.g. observed during the scoring stage's own materialization
+          // job) lets the finisher guard skip its count() pass entirely —
+          // canonicalize only ever drops rows, so any pre-filter row count
+          // is a safe over-estimate for the `<= localMaxEdges` check
+          knownEdgeCount: Option[Long] = None): DataFrame = {
     val e = canonicalize(edges, checkpoint, edgesDistinct)
-    if (useLocalFinisher(e, localMaxEdges)) {
+    if (useLocalFinisher(e, localMaxEdges, knownEdgeCount)) {
       val parent = unionFind(e.select("u", "v").collect())
       assignmentDf(e.sparkSession, resolve(parent))
     } else distributedAssignment(
@@ -89,11 +95,17 @@ object ConnectedComponents {
                       maxIter: Int = 50,
                       onRound: (Int, Long, Long) => Unit = (_, _, _) => (),
                       localMaxEdges: Long = 0L,
-                      edgesDistinct: Boolean = false): DataFrame = {
+                      edgesDistinct: Boolean = false,
+                      knownEdgeCount: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
     val e = canonicalize(edges, checkpoint, edgesDistinct)
-    if (useLocalFinisher(e, localMaxEdges)) {
-      val resolved = resolve(unionFind(e.select("u", "v").collect()))
+    if (useLocalFinisher(e, localMaxEdges, knownEdgeCount)) {
+      // roots are dropped from the resolved map: both attach paths fall
+      // back to identity for absent keys (the broadcast lookup explicitly,
+      // joinAttach via coalesce), and a root's cluster id IS itself — so
+      // the shipped map carries only non-root members (~the duplicate
+      // docs), typically a third smaller than the full node map
+      val resolved = resolve(unionFind(e.select("u", "v").collect()), keepRoots = false)
       if (resolved.size() <= MaxBroadcastNodes) {
         // the map is already ON the driver — sc.broadcast ships it once
         // (torrent), unlike a broadcast-hinted DataFrame whose execution
@@ -146,10 +158,12 @@ object ConnectedComponents {
     * the iterative rounds rather than risking a ClassCastException or a
     * lexicographic-vs-native ordering divergence.
     */
-  private def useLocalFinisher(e: DataFrame, localMaxEdges: Long): Boolean = {
+  private def useLocalFinisher(e: DataFrame, localMaxEdges: Long,
+                               knownEdgeCount: Option[Long] = None): Boolean = {
     val stringIds = e.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.StringType)
-    localMaxEdges > 0 && stringIds && e.count() <= localMaxEdges
+    localMaxEdges > 0 && stringIds &&
+      knownEdgeCount.getOrElse(e.count()) <= localMaxEdges
   }
 
   /** Union-find with path compression, min member as the representative —
@@ -185,13 +199,19 @@ object ConnectedComponents {
     parent
   }
 
-  /** node → final root for every node (full path resolution). */
-  private def resolve(parent: java.util.HashMap[String, String]): java.util.HashMap[String, String] = {
+  /** node → final root (full path resolution). `keepRoots = false` omits
+    * root self-entries — correct wherever the consumer falls back to
+    * identity for absent keys (both of [[runWithUniverse]]'s attach
+    * paths); [[run]] keeps them because its contract is "every node
+    * appearing in edges is returned".
+    */
+  private def resolve(parent: java.util.HashMap[String, String],
+                      keepRoots: Boolean = true): java.util.HashMap[String, String] = {
     val out = new java.util.HashMap[String, String](parent.size())
     parent.keySet().forEach { k =>
       var root = k
       while (parent.get(root) != root) root = parent.get(root)
-      out.put(k, root)
+      if (keepRoots || root != k) out.put(k, root)
     }
     out
   }

@@ -176,9 +176,32 @@ object Pipeline {
       case None => droppedDf
     }
 
-    val scored = stage("scored")(
-      Scoring.scorePairs(pairs, docs, cfg.weights, cfg.prefixChars, cfg.levMaxDist,
-        pairIdCol = "hid"))
+    // in-memory path: count the would-be match edges DURING the scored
+    // stage's own checkpoint job (`observe` = accumulator-backed map-side
+    // metric, zero extra pass) so the clusters finisher's `count()` guard
+    // never schedules its own job over the cached stage. Safe as a guard:
+    // canonicalization only drops rows (self-loops), so the observed
+    // count is an upper bound on the canonical edge count.
+    val edgeObs = if (io.isEmpty) Some(new org.apache.spark.sql.Observation()) else None
+    val scoredBase = Scoring.scorePairs(pairs, docs, cfg.weights, cfg.prefixChars,
+      cfg.levMaxDist, pairIdCol = "hid")
+    val scored = stage("scored")(edgeObs.fold(scoredBase)(o =>
+      scoredBase.observe(o,
+        sum(when(col("score") >= cfg.scoreThreshold, 1L).otherwise(0L)).as("n"))))
+    // the checkpoint job above already completed, so the metric either is
+    // delivered or arrives with the listener bus's next drain — poll the
+    // observation future with a short deadline rather than the blocking
+    // get (which waits forever if the action never routed through the SQL
+    // listener); an undelivered metric just falls back to the finisher's
+    // own count pass
+    val knownEdges: Option[Long] = edgeObs.flatMap { o =>
+      val deadline = System.nanoTime() + 2000000000L
+      while (!o.future.isCompleted && System.nanoTime() < deadline) Thread.sleep(10)
+      if (!o.future.isCompleted) None
+      else o.get.get("n").map(v => Option(v).fold(0L)(_.asInstanceOf[Number].longValue))
+    }
+    if (sys.env.contains("GRAFT_STAGE_TIMING"))
+      println(s"OBS matched_edges=${knownEdges.fold("undelivered")(_.toString)}")
     // edges is a filter+project over the already-materialized scored stage
     // — its own eager checkpoint was a pure extra pass; CC's first
     // distinct materializes it in the same job (TableIO keeps the snapshot
@@ -214,7 +237,8 @@ object Pipeline {
           if (io.isEmpty) ConnectedComponents.defaultLocalMaxEdges else 0L,
         // pair-dedup upstream guarantees distinct pairs → the finisher
         // path skips CC's own distinct() shuffle entirely
-        edgesDistinct = true)
+        edgesDistinct = true,
+        knownEdgeCount = knownEdges)
     }
 
     StageResult(clusters, dropped)

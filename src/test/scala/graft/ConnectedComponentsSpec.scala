@@ -108,6 +108,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(viaJoin == attached)
   }
 
+  test("knownEdgeCount steers the finisher guard without a count pass") {
+    val edges = Seq("c" -> "b", "b" -> "a", "x" -> "y").toDF("src", "dst")
+    val universe = Seq("a", "b", "c", "x", "y", "lonely1").toDF("conv_id")
+    val expect = Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "lonely1" -> "lonely1")
+    // caller-supplied count under the bound → driver finisher, same result
+    val viaKnown = ConnectedComponents
+      .runWithUniverse(edges, universe, localMaxEdges = 1000L,
+        knownEdgeCount = Some(3L))
+      .as[(String, String)].collect().toMap
+    assert(viaKnown == expect)
+    // an over-bound known count must route to the distributed rounds —
+    // and still agree (the guard is a safety valve, not a semantics switch)
+    val viaDist = ConnectedComponents
+      .runWithUniverse(edges, universe, localMaxEdges = 1000L,
+        knownEdgeCount = Some(5000L))
+      .as[(String, String)].collect().toMap
+    assert(viaDist == expect)
+  }
+
   test("edgesDistinct contract: distinct input produces identical clusters on both paths") {
     val rnd = new scala.util.Random(23)
     val n = 80

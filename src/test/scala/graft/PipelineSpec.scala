@@ -85,9 +85,12 @@ class PipelineSpec extends SparkSpec {
     // the aggregator's state bound: saturates at cap+1 distinct, dedups
     val agg = new graft.functions.BoundedCollectSet(4)
     val r = (1L to 100L).foldLeft(agg.zero)((b, v) => agg.reduce(agg.reduce(b, v), v))
-    assert(r == Vector(1L, 2L, 3L, 4L))
-    val m = agg.merge(Vector(1L, 3L, 5L), Vector(2L, 3L, 7L, 9L))
-    assert(m == Vector(1L, 2L, 3L, 5L))
+    assert(r.toSeq == Seq(1L, 2L, 3L, 4L))
+    val m = agg.merge(Array(1L, 3L, 5L), Array(2L, 3L, 7L, 9L))
+    assert(m.toSeq == Seq(1L, 2L, 3L, 5L))
+    // merge stays bounded + sorted-distinct from arbitrary partials
+    val m2 = agg.merge(Array(1L, 2L, 3L), Array(4L, 5L, 6L, 7L))
+    assert(m2.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
   test("checkpointed run resumes from snapshots and is byte-identical") {
