@@ -1,0 +1,128 @@
+package graft
+
+import graft.pipeline.Blocking
+import graft.streaming.IncrementalLink
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class IncrementalLinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  /** Near-dup corpus: groups of variants sharing long token runs, plus
+    * unrelated docs — enough structure that hybrid blocking emits pairs.
+    */
+  private val corpus: Seq[(String, String)] = {
+    val bases = Seq(
+      "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+      "a customer asked the support agent about billing for the premium plan last week",
+      "machine learning pipelines require careful feature engineering and robust validation steps")
+    bases.zipWithIndex.flatMap { case (b, g) =>
+      Seq(s"g${g}a" -> b, s"g${g}b" -> (b + " exactly"), s"g${g}c" -> ("well " + b))
+    } ++ Seq("solo1" -> "completely unrelated text about gardening tulips in spring soil",
+      "solo2" -> "another disjoint snippet concerning orbital mechanics and fuel budgets")
+  }
+
+  test("streamed pairs == batch pairsFromBlocks over the same corpus") {
+    val batchDocs = corpus.toDF("conv_id", "text")
+      .withColumn("tokens", graft.functions.tokens(col("text")))
+    val blocks = Blocking.hybridBlocks(batchDocs, exactK = 8, lshShingleK = 5,
+      numHashes = 64, bands = 16, winnowW = 4)
+    val (expectedDf, _) = Blocking.pairsFromBlocks(blocks, maxBlockSize = 64)
+    val expected = expectedDf.select("conv_a", "conv_b")
+      .as[(String, String)].collect().toSet
+    assert(expected.nonEmpty, "fixture must produce batch pairs")
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Timestamp)]
+    val docs = in.toDF().toDF("conv_id", "text", "ts")
+    val pairs = IncrementalLink.dedupedPairs(
+      IncrementalLink.incrementalPairs(
+        IncrementalLink.blockKeys(docs), maxBlockSize = 64, idleGapMs = 0L))
+    val q = pairs.writeStream.format("memory").queryName("ilp")
+      .outputMode("append").start()
+    try {
+      // same docs, three micro-batches — pairs must form across batches
+      corpus.grouped(4).zipWithIndex.foreach { case (chunk, i) =>
+        in.addData(chunk.map { case (id, t) => (id, t, ts(i)) })
+        q.processAllAvailable()
+      }
+      val got = spark.table("ilp").select("conv_a", "conv_b")
+        .as[(String, String)].collect().toSet
+      assert(got == expected,
+        s"stream/batch pair sets differ: only-stream=${got -- expected}, " +
+          s"only-batch=${expected -- got}")
+    } finally q.stop()
+  }
+
+  test("new member pairs with previously-seen members across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val blocked = in.toDF().toDF("block_key", "conv_id", "ts")
+    val q = IncrementalLink.incrementalPairs(blocked, maxBlockSize = 10, idleGapMs = 0L)
+      .writeStream.format("memory").queryName("ilinc").outputMode("append").start()
+    try {
+      in.addData((7L, "a", ts(0)), (7L, "b", ts(1)))
+      q.processAllAvailable()
+      assert(spark.table("ilinc").count() == 1) // (a, b)
+      in.addData((7L, "c", ts(2)))
+      q.processAllAvailable()
+      val got = spark.table("ilinc").select("conv_a", "conv_b")
+        .as[(String, String)].collect().toSet
+      assert(got == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    } finally q.stop()
+  }
+
+  test("oversize block collapses to O(1) state and stops emitting") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val blocked = in.toDF().toDF("block_key", "conv_id", "ts")
+    val q = IncrementalLink.incrementalPairs(blocked, maxBlockSize = 3, idleGapMs = 0L)
+      .writeStream.format("memory").queryName("ilcap").outputMode("append").start()
+    try {
+      // c1..c3 fill the cap (1 + 2 pairs); c4 trips the collapse; c5 and a
+      // later-batch c6 are dropped in O(1)
+      in.addData((9L, "c1", ts(0)), (9L, "c2", ts(1)), (9L, "c3", ts(2)),
+        (9L, "c4", ts(3)), (9L, "c5", ts(4)))
+      q.processAllAvailable()
+      assert(spark.table("ilcap").count() == 3)
+      in.addData((9L, "c6", ts(5)))
+      q.processAllAvailable()
+      assert(spark.table("ilcap").count() == 3)
+      // duplicate re-arrival of a pre-cap member is also a no-op
+      in.addData((9L, "c1", ts(6)))
+      q.processAllAvailable()
+      assert(spark.table("ilcap").count() == 3)
+    } finally q.stop()
+  }
+
+  test("idle block state expires by event time; a re-arrival starts fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val blocked = in.toDF().toDF("block_key", "conv_id", "ts")
+    // watermark 0s: the watermark tracks max seen event time directly;
+    // idle gap 1 minute
+    val q = IncrementalLink.incrementalPairs(blocked, maxBlockSize = 10,
+        watermark = "0 seconds", idleGapMs = 60000L)
+      .writeStream.format("memory").queryName("ilexp").outputMode("append").start()
+    try {
+      in.addData((1L, "a", ts(0)), (1L, "b", ts(0)))
+      q.processAllAvailable()
+      assert(spark.table("ilexp").count() == 1)
+      // unrelated key advances the watermark past key 1's timeout (two
+      // batches: the first moves the watermark, the second fires timeouts
+      // under it — watermark updates are visible from the NEXT batch)
+      in.addData((2L, "x", ts(10)))
+      q.processAllAvailable()
+      in.addData((2L, "y", ts(10)))
+      q.processAllAvailable()
+      // key 1's state is gone: a new member pairs with nothing
+      in.addData((1L, "c", ts(11)))
+      q.processAllAvailable()
+      val key1Pairs = spark.table("ilexp").where(col("block_key") === 1L).count()
+      assert(key1Pairs == 1, s"expected expired state (1 pair), got $key1Pairs")
+    } finally q.stop()
+  }
+}
