@@ -145,4 +145,102 @@ object IncrementalLink {
     pairs
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("conv_a", "conv_b")
+
+  // --------------------------------------------------------------------
+  // Stream-static linkage: link incoming docs against a STATIC corpus
+  // snapshot (yesterday's lake) instead of the stream's own past. The
+  // whole path is STATELESS except the watermarked candidate dedup —
+  // blocking is a stream-static equi-join on block_key (no state), and
+  // scoring runs the batch kernels inline on the joined row. This is the
+  // deployment shape for "dedup the day's ingest against the 100-TB
+  // corpus": the index is built once per snapshot (bucket it by
+  // block_key in production so the per-batch join probes co-located
+  // buckets), the stream pays one narrow join per micro-batch.
+  // --------------------------------------------------------------------
+
+  /** Per-doc linkage features: the scoring payload of
+    * [[graft.pipeline.Scoring.scorePairs]] (distinct 64-bit token hashes +
+    * a bounded normalized prefix) plus one row per hybrid block key.
+    */
+  private def docFeatures(docs: DataFrame, exactK: Int, lshShingleK: Int,
+                          numHashes: Int, bands: Int, winnowW: Int,
+                          prefixChars: Int): DataFrame = {
+    val toks =
+      if (docs.columns.contains("tokens")) col("tokens")
+      else graft.functions.tokens(col("text"))
+    val prefix =
+      if (docs.columns.contains("text"))
+        substring(graft.functions.norm_text(col("text")), 1, prefixChars)
+      else substring(concat_ws(" ", col("tokens")), 1, prefixChars)
+    val keys = array_union(
+      graft.functions.minhash_band_keys(toks, lshShingleK, numHashes, bands),
+      graft.functions.winnowed_shingle_hashes(toks, exactK, winnowW,
+        Blocking.ExactShingleSeed))
+    val base = docs.where(size(toks) > 0)
+      .withColumn("tok_set", graft.functions.shingle_hashes(toks, 1))
+      .withColumn("prefix", prefix)
+    base.select(
+      (base.columns.filterNot(Set("text", "tokens")).map(col) :+
+        explode(keys).as("block_key")).toIndexedSeq: _*)
+  }
+
+  /** Build the static side of the stream-static join from a corpus
+    * snapshot (conv_id + text|tokens): (block_key, corpus_id,
+    * corpus_tok_set, corpus_prefix), with keys shared by more than
+    * `maxKeyFanout` corpus docs dropped (the batch cap's analog — a hot
+    * stopword-shingle key would fan every incoming doc out against
+    * thousands of corpus rows; recall rides the doc's other keys).
+    * Persist (or write bucketed by block_key) before serving: a streaming
+    * query re-evaluates an unpersisted static plan every micro-batch.
+    */
+  def corpusIndex(corpus: DataFrame, exactK: Int = 8, lshShingleK: Int = 5,
+                  numHashes: Int = 64, bands: Int = 16, winnowW: Int = 4,
+                  maxKeyFanout: Int = 64, prefixChars: Int = 256): DataFrame = {
+    val feat = docFeatures(
+      corpus.select(col("conv_id").as("corpus_id"),
+        col(if (corpus.columns.contains("text")) "text" else "tokens")),
+      exactK, lshShingleK, numHashes, bands, winnowW, prefixChars)
+      .withColumnRenamed("tok_set", "corpus_tok_set")
+      .withColumnRenamed("prefix", "corpus_prefix")
+    val hot = feat.groupBy("block_key").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxKeyFanout)
+    feat.join(broadcast(hot.select("block_key")), Seq("block_key"), "left_anti")
+  }
+
+  /** Link a stream of new docs (conv_id, ts, text|tokens) against a
+    * [[corpusIndex]]: stream-static join on block_key, watermarked
+    * candidate dedup (a pair sharing several keys is scored once per
+    * watermark window), then the batch scoring mixture inline
+    * (token-Jaccard + Jaro-Winkler + bounded-Levenshtein, identical
+    * kernels and weights to [[graft.pipeline.Scoring.scorePairs]]).
+    * Returns matches at `threshold` — append-mode, no retractions.
+    */
+  def linkAgainstCorpus(stream: DataFrame, index: DataFrame,
+                        w: graft.pipeline.Scoring.Weights =
+                          graft.pipeline.Scoring.Weights(),
+                        threshold: Double = 0.55, levMaxDist: Int = 128,
+                        watermark: String = "1 hour", exactK: Int = 8,
+                        lshShingleK: Int = 5, numHashes: Int = 64,
+                        bands: Int = 16, winnowW: Int = 4,
+                        prefixChars: Int = 256): DataFrame =
+    docFeatures(stream, exactK, lshShingleK, numHashes, bands, winnowW,
+      prefixChars)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .join(index, "block_key")
+      // dedup BEFORE the kernels: candidates duplicated by shared keys
+      // must not pay the O(prefix²) string kernels more than once
+      .dropDuplicatesWithinWatermark("conv_id", "corpus_id")
+      .withColumn("jaccard",
+        graft.functions.token_jaccard(col("tok_set"), col("corpus_tok_set")))
+      .withColumn("jw",
+        graft.functions.jaro_winkler(col("prefix"), col("corpus_prefix")))
+      .withColumn("lev_sim", graft.functions.levenshtein_sim(
+        col("prefix"), col("corpus_prefix"), levMaxDist))
+      .withColumn("score",
+        lit(w.jaccard) * col("jaccard") + lit(w.jaroWinkler) * col("jw") +
+          lit(w.levenshtein) * col("lev_sim"))
+      .where(col("score") >= threshold)
+      .select(col("conv_id"), col("corpus_id"), col("ts"),
+        col("jaccard"), col("jw"), col("lev_sim"), col("score"))
 }
