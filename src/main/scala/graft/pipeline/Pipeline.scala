@@ -85,6 +85,36 @@ object Pipeline {
     }
   }
 
+  /** The docs-stage payload (conv_id, tokh, prefix, hid) — narrow by
+    * design (see the scale notes inside [[runStages]]). Shared with
+    * [[IncrementalPipeline]], whose delta docs must be byte-identical to
+    * what a full run would have computed for the same rows.
+    */
+  def docsPayload(transcripts: DataFrame, cfg: Config): DataFrame =
+    DocAssembly.assemble(transcripts).select(
+      col("conv_id"),
+      graft.functions.shingle_hashes(col("tokens"), 1, distinct = false)
+        .as("tokh"),
+      substring(col("norm_text"), 1, cfg.prefixChars).as("prefix"),
+      xxhash64(col("conv_id")).as("hid"))
+
+  /** Block keys for a docs payload: (block_key, conv_id = hid). Same keys
+    * regardless of when a doc is ingested — the property incremental
+    * linkage relies on to join a delta's blocks against a prior corpus
+    * snapshot's.
+    */
+  def blocksPayload(docs: DataFrame, cfg: Config): DataFrame = {
+    val blockInput = docs.select(col("hid").as("conv_id"), col("tokh").as("tokens"))
+    cfg.blocking match {
+      case ExactBlocking => Blocking.exactShingleBlocks(blockInput, cfg.shingleK)
+      case LshBlocking =>
+        Blocking.minhashLshBlocks(blockInput, cfg.lshShingleK, cfg.numHashes, cfg.bands)
+      case HybridBlocking =>
+        Blocking.hybridBlocks(blockInput, cfg.shingleK, cfg.lshShingleK,
+          cfg.numHashes, cfg.bands, cfg.winnowWindow)
+    }
+  }
+
   private def runStages(transcripts: DataFrame, cfg: Config,
                         io: Option[TableIO]): StageResult = {
     io.foreach(validateConfigFingerprint(_, cfg, transcripts.sparkSession))
@@ -143,25 +173,9 @@ object Pipeline {
     // token strings — the blocks stage is bandwidth-bound (BASELINE.md
     // round 3: 0.72 stage efficiency on token-array scans), and the
     // cached docs payload shrinks by the whole string column.
-    val docs = stage("docs")(
-      DocAssembly.assemble(transcripts).select(
-        col("conv_id"),
-        graft.functions.shingle_hashes(col("tokens"), 1, distinct = false)
-          .as("tokh"),
-        substring(col("norm_text"), 1, cfg.prefixChars).as("prefix"),
-        xxhash64(col("conv_id")).as("hid")))
+    val docs = stage("docs")(docsPayload(transcripts, cfg))
 
-    val blockInput = docs.select(col("hid").as("conv_id"), col("tokh").as("tokens"))
-    val blocks = stage("blocks") {
-      cfg.blocking match {
-        case ExactBlocking => Blocking.exactShingleBlocks(blockInput, cfg.shingleK)
-        case LshBlocking =>
-          Blocking.minhashLshBlocks(blockInput, cfg.lshShingleK, cfg.numHashes, cfg.bands)
-        case HybridBlocking =>
-          Blocking.hybridBlocks(blockInput, cfg.shingleK, cfg.lshShingleK,
-            cfg.numHashes, cfg.bands, cfg.winnowWindow)
-      }
-    }
+    val blocks = stage("blocks")(blocksPayload(docs, cfg))
 
     // shareAggregate only when the drop audit is materialized too (TableIO)
     val (pairsDf, droppedDf) =

@@ -1,0 +1,95 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental linkage ≡ full recompute: the delta path's clusters must
+  * equal, row for row, what [[Pipeline.run]] produces over the combined
+  * corpus (same min-member labels, not just the same partition).
+  */
+class IncrementalPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 50 bases × (1 base + 2 dups). Split: the prior batch gets every base
+  // conversation plus both dups of bases ≡ 0 (mod 3); the delta gets the
+  // rest — so the delta contains new-OLD links (a dup arriving after its
+  // base) AND new-NEW links (two dups of the same base both in the delta).
+  private lazy val all = TranscriptGen
+    .transcripts(spark, nBase = 50, dupsPerBase = 2).cache()
+  private def dupIdx = split(col("conv_id"), "_").getItem(1).cast("int")
+  private def baseIdx = substring(col("conv_id"), 2, 9).cast("long")
+  private lazy val prior = all.where(dupIdx === 0 || baseIdx % 3 === 0).cache()
+  private lazy val delta = all.where(dupIdx =!= 0 && baseIdx % 3 =!= 0).cache()
+
+  private val cfg = Pipeline.Config(maxBlockSize = 500)
+
+  private def assertSameClusters(a: DataFrame, b: DataFrame): Unit = {
+    val l = a.select("conv_id", "cluster_id")
+    val r = b.select("conv_id", "cluster_id")
+    assert(l.exceptAll(r).isEmpty && r.exceptAll(l).isEmpty,
+      s"cluster mismatch:\n only-left: ${l.exceptAll(r).collect().toSeq}\n" +
+        s" only-right: ${r.exceptAll(l).collect().toSeq}")
+  }
+
+  test("one increment reproduces the full recompute exactly") {
+    val full = Pipeline.run(all, cfg).clusters
+    val priorRun = Pipeline.run(prior, cfg)
+    val inc = IncrementalPipeline.run(delta,
+      Pipeline.docsPayload(prior, cfg), priorRun.clusters, cfg)
+    assertSameClusters(inc.clusters, full)
+    // the delta genuinely exercised both link kinds
+    val priorIds = prior.select("conv_id").distinct().as[String].collect().toSet
+    val edges = inc.matchedEdges.select("conv_a", "conv_b")
+      .as[(String, String)].collect()
+    assert(edges.exists(e => priorIds(e._1) ^ priorIds(e._2)), "no new-old edge")
+    assert(edges.exists(e => !priorIds(e._1) && !priorIds(e._2)), "no new-new edge")
+    assert(inc.droppedKeys.isEmpty)
+  }
+
+  test("chained increments reproduce the full recompute exactly") {
+    // delta split again: dup 1 arrives before dup 2
+    val d1 = delta.where(dupIdx === 1).cache()
+    val d2 = delta.where(dupIdx === 2).cache()
+    val run0 = Pipeline.run(prior, cfg)
+    val inc1 = IncrementalPipeline.run(d1,
+      Pipeline.docsPayload(prior, cfg), run0.clusters, cfg)
+    val corpus1 = prior.unionByName(d1)
+    val inc2 = IncrementalPipeline.run(d2,
+      Pipeline.docsPayload(corpus1, cfg), inc1.clusters, cfg)
+    assertSameClusters(inc2.clusters, Pipeline.run(all, cfg).clusters)
+  }
+
+  test("empty delta is an identity: clusters pass through unchanged") {
+    val priorRun = Pipeline.run(prior, cfg)
+    val inc = IncrementalPipeline.run(delta.limit(0),
+      Pipeline.docsPayload(prior, cfg), priorRun.clusters, cfg)
+    assertSameClusters(inc.clusters, priorRun.clusters)
+    assert(inc.matchedEdges.isEmpty && inc.droppedKeys.isEmpty)
+  }
+
+  test("supplied priorBlocks snapshot gives identical results to re-blocking") {
+    val priorDocs = Pipeline.docsPayload(prior, cfg)
+    val priorRun = Pipeline.run(prior, cfg)
+    val withSnap = IncrementalPipeline.run(delta, priorDocs, priorRun.clusters,
+      cfg, priorBlocks = Some(Pipeline.blocksPayload(priorDocs, cfg)))
+    assertSameClusters(withSnap.clusters, Pipeline.run(all, cfg).clusters)
+  }
+
+  test("combined-size cap drops are reported and bounded, never silent") {
+    // shingleK=1 + tiny cap: stopword token blocks blow past the cap only
+    // once both batches are counted together
+    val tiny = Pipeline.Config(blocking = Pipeline.ExactBlocking,
+      shingleK = 1, maxBlockSize = 8)
+    val priorRun = Pipeline.run(prior, tiny)
+    val inc = IncrementalPipeline.run(delta,
+      Pipeline.docsPayload(prior, tiny), priorRun.clusters, tiny)
+    val drops = inc.droppedKeys.collect()
+    assert(drops.nonEmpty, "expected combined-cap drops")
+    assert(drops.forall(_.getLong(1) > 8))
+    // pipeline still completes and every id keeps exactly one cluster row
+    val n = inc.clusters.count()
+    assert(n == all.select("conv_id").distinct().count())
+    assert(inc.clusters.select("conv_id").distinct().count() == n)
+  }
+}
