@@ -43,11 +43,13 @@ import org.apache.spark.sql.functions._
   *    delta is small);
   *  - per-key fanout is capped by the SAME combined-size rule as the
   *    batch path, reported, never silent;
-  *  - scoring attaches doc features via the inner equi-join of
-  *    [[Scoring.scorePairs]] — one pass over the corpus docs snapshot
-  *    (bucket it by hid to make that co-located too);
-  *  - the final CC runs over membership edges (|corpus| rows, narrow) +
-  *    delta matched edges; the driver finisher bounds apply unchanged.
+  *  - scoring features are semi-join-pruned to the pair set's ids before
+  *    [[Scoring.scorePairs]]'s attach joins — the corpus docs snapshot is
+  *    scanned, never corpus-shuffled (bucket it by hid to co-locate);
+  *  - reclustering is AFFECTED-SUBGRAPH only: prior clusters untouched by
+  *    any matched edge pass through verbatim (one semi- + one anti-join
+  *    scan of the clusters table), so CC and its driver finisher see a
+  *    delta-sized graph, never the corpus.
   */
 object IncrementalPipeline {
 
@@ -76,20 +78,31 @@ object IncrementalPipeline {
           priorClusters: DataFrame, cfg: Pipeline.Config = Pipeline.Config(),
           priorBlocks: Option[DataFrame] = None): Result = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    // per-stage wall-clock into Pipeline.stageTimings under inc_* keys
+    // (GRAFT_STAGE_TIMING prints them like the batch stages)
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Pipeline.stageTimings.put(name, sec)
+      if (sys.env.contains("GRAFT_STAGE_TIMING"))
+        println(f"STAGE $name%-14s $sec%.2f s")
+      r
+    }
     // eager checkpoint: the delta docs feed blocking AND the scoring join
-    val newDocs = Pipeline.docsPayload(newTranscripts, cfg)
-      .localCheckpoint(true, ser)
-    val newBlocks = Pipeline.blocksPayload(newDocs, cfg)
-      .localCheckpoint(true, ser)
+    val newDocs = timed("inc_docs")(Pipeline.docsPayload(newTranscripts, cfg)
+      .localCheckpoint(true, ser))
+    val newBlocks = timed("inc_blocks")(Pipeline.blocksPayload(newDocs, cfg)
+      .localCheckpoint(true, ser))
 
     // prune the corpus side to keys the delta emits before counting:
     // a key with no new member can produce no delta pair, and at corpus
     // scale this semi-join is the difference between aggregating the
     // whole blocks table and aggregating the delta's neighborhood
     val newKeys = newBlocks.select("block_key").distinct()
-    val oldRelevant = priorBlocks.getOrElse(Pipeline.blocksPayload(priorDocs, cfg))
-      .join(newKeys, Seq("block_key"), "left_semi")
-      .localCheckpoint(true, ser)
+    val oldRelevant = timed("inc_probe")(
+      priorBlocks.getOrElse(Pipeline.blocksPayload(priorDocs, cfg))
+        .join(newKeys, Seq("block_key"), "left_semi")
+        .localCheckpoint(true, ser))
 
     // combined-size cap, same rule as the batch path (blocks kernels emit
     // per-doc-distinct keys, so row counts ARE distinct member counts)
@@ -125,34 +138,66 @@ object IncrementalPipeline {
         greatest(col("h_new"), col("h_old")).as("conv_b"))
       .distinct()
 
-    val pairs = nnPairs.select("conv_a", "conv_b")
+    // eager: the pair set fans out three ways below (the two pairHids
+    // projections + the scoring join) — without materialization the whole
+    // block/count/anti-join subtree re-executes per consumer
+    val pairs = timed("inc_pairs")(nnPairs.select("conv_a", "conv_b")
       .unionByName(noPairs)
+      .localCheckpoint(true, ser))
 
-    // features for both sides ride the scoring join's own doc lookup
+    // scoring features: prune the corpus docs to ids the pairs actually
+    // reference BEFORE the feature-attach joins — the pair set is
+    // delta-neighborhood-sized, so this turns two full-corpus shuffles
+    // into a scan + (usually broadcast) semi-join
+    val pairHids = pairs.select(col("conv_a").as("hid"))
+      .unionByName(pairs.select(col("conv_b").as("hid"))).distinct()
     val allDocs = newDocs.unionByName(
-      priorDocs.select("conv_id", "tokh", "prefix", "hid"))
+        priorDocs.select("conv_id", "tokh", "prefix", "hid"))
+      .join(pairHids, Seq("hid"), "left_semi")
     val scored = Scoring.scorePairs(pairs, allDocs, cfg.weights,
       cfg.prefixChars, cfg.levMaxDist, pairIdCol = "hid")
-    val matched = Scoring.matchedPairs(scored, cfg.scoreThreshold)
-      .localCheckpoint(true, ser)
+    val matched = timed("inc_scored")(
+      Scoring.matchedPairs(scored, cfg.scoreThreshold)
+        .localCheckpoint(true, ser))
 
-    // prior connectivity as membership edges; min-member labeling makes
-    // cluster_id itself a member, so (id — cluster_id) edges regenerate
-    // each old component exactly
-    val memberEdges = priorClusters
+    // AFFECTED-SUBGRAPH reclustering: only prior clusters touched by a
+    // matched edge can change — everything else passes through verbatim.
+    // Matched edges all involve ≥1 new doc, so the affected set is the
+    // clusters of matched OLD endpoints; their membership edges
+    // (conv_id — cluster_id, cluster_id itself a member under min-member
+    // labeling) regenerate exactly their prior connectivity. CC therefore
+    // runs over a delta-sized subgraph — the corpus contributes two
+    // narrow scans of priorClusters (semi + anti), never a corpus-wide
+    // union-find.
+    val matchedIds = matched.select(col("conv_a").as("conv_id"))
+      .unionByName(matched.select(col("conv_b").as("conv_id"))).distinct()
+    // lazy: consumed by both the semi- and the anti-join below — one
+    // evaluation of the priorClusters ⋉ matchedIds lookup, not two
+    val affectedClusterIds = priorClusters
+      .join(matchedIds, Seq("conv_id"), "left_semi")
+      .select("cluster_id").distinct()
+      .localCheckpoint(false, ser)
+    val affectedMembers = timed("inc_affected")(priorClusters
+      .join(affectedClusterIds, Seq("cluster_id"), "left_semi")
+      .localCheckpoint(true, ser))
+    val unaffected = priorClusters
+      .join(affectedClusterIds, Seq("cluster_id"), "left_anti")
+
+    val memberEdges = affectedMembers
       .where(col("conv_id") =!= col("cluster_id"))
       .select(col("conv_id").as("src"), col("cluster_id").as("dst"))
     val edges = matched.select(col("conv_a").as("src"), col("conv_b").as("dst"))
       .unionByName(memberEdges)
 
-    val universe = priorClusters.select("conv_id")
+    // every new doc enters the universe (unmatched ones become
+    // singletons); a matched pair can coincide with a membership edge in
+    // orientation, so let CC dedup (edgesDistinct = false)
+    val universe = affectedMembers.select("conv_id")
       .unionByName(newDocs.select("conv_id"))
-    // a matched pair can coincide with a membership edge (a new doc never
-    // can, but src/dst orientation across the two sources may), so let CC
-    // dedup (edgesDistinct = false)
-    val clusters = ConnectedComponents.runWithUniverse(edges, universe,
+    val reclustered = ConnectedComponents.runWithUniverse(edges, universe,
       localMaxEdges = ConnectedComponents.defaultLocalMaxEdges)
 
-    Result(clusters, matched, droppedKeys)
+    Result(reclustered.unionByName(unaffected.select("conv_id", "cluster_id")),
+      matched, droppedKeys)
   }
 }
