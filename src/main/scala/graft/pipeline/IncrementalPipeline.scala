@@ -57,10 +57,16 @@ object IncrementalPipeline {
     * cluster id. `matchedEdges`: the delta's new matched pairs with
     * scores (the audit trail of WHY clusters merged). `droppedKeys`:
     * block keys whose combined size exceeded the cap (block_key,
-    * block_size) — the no-silent-caps artifact.
+    * block_size) — the no-silent-caps artifact. `newDocs` / `newBlocks`:
+    * the delta's docs/blocks payloads (already materialized) — APPEND
+    * them to the snapshot tables so tomorrow's delta runs against
+    * today's corpus without re-deriving anything
+    * (`IncrementalPipelineSpec` pins that appended-snapshot chaining
+    * stays recompute-exact).
     */
   case class Result(clusters: DataFrame, matchedEdges: DataFrame,
-                    droppedKeys: DataFrame)
+                    droppedKeys: DataFrame, newDocs: DataFrame,
+                    newBlocks: DataFrame)
 
   /** @param newTranscripts the delta ingest (conv_id, turn_idx, role,
     *                       text, tool, ts) — conv_ids disjoint from the
@@ -198,6 +204,6 @@ object IncrementalPipeline {
       localMaxEdges = ConnectedComponents.defaultLocalMaxEdges)
 
     Result(reclustered.unionByName(unaffected.select("conv_id", "cluster_id")),
-      matched, droppedKeys)
+      matched, droppedKeys, newDocs, newBlocks)
   }
 }

@@ -47,16 +47,21 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(inc.droppedKeys.isEmpty)
   }
 
-  test("chained increments reproduce the full recompute exactly") {
-    // delta split again: dup 1 arrives before dup 2
+  test("chained increments via appended snapshots reproduce the full recompute") {
+    // delta split again: dup 1 arrives before dup 2. The second increment
+    // runs against APPENDED snapshots (prior tables ∪ the first delta's
+    // returned payloads) — the production maintenance loop, no
+    // re-derivation of the corpus side between days.
     val d1 = delta.where(dupIdx === 1).cache()
     val d2 = delta.where(dupIdx === 2).cache()
+    val docs0 = Pipeline.docsPayload(prior, cfg)
+    val blocks0 = Pipeline.blocksPayload(docs0, cfg)
     val run0 = Pipeline.run(prior, cfg)
-    val inc1 = IncrementalPipeline.run(d1,
-      Pipeline.docsPayload(prior, cfg), run0.clusters, cfg)
-    val corpus1 = prior.unionByName(d1)
+    val inc1 = IncrementalPipeline.run(d1, docs0, run0.clusters, cfg,
+      priorBlocks = Some(blocks0))
     val inc2 = IncrementalPipeline.run(d2,
-      Pipeline.docsPayload(corpus1, cfg), inc1.clusters, cfg)
+      docs0.unionByName(inc1.newDocs), inc1.clusters, cfg,
+      priorBlocks = Some(blocks0.unionByName(inc1.newBlocks)))
     assertSameClusters(inc2.clusters, Pipeline.run(all, cfg).clusters)
   }
 
