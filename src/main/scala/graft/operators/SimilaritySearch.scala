@@ -168,6 +168,9 @@ object SimilaritySearch {
   }
 
   private def centroids(corpus: DataFrame, nCells: Int, idCol: String, vecCol: String) = {
+    // unpartitioned Window is safe HERE only: it runs over the
+    // limit(nCells) result (≤ codebook size, driver-bounded by design),
+    // never over the corpus
     val w = Window.orderBy(col(idCol))
     corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol), col(vecCol).as("centroid"))
