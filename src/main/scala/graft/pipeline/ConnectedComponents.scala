@@ -75,8 +75,8 @@ object ConnectedComponents {
           knownEdgeCount: Option[Long] = None): DataFrame = {
     val e = canonicalize(edges, checkpoint, edgesDistinct)
     if (useLocalFinisher(e, localMaxEdges, knownEdgeCount)) {
-      val parent = unionFind(e.select("u", "v").collect())
-      assignmentDf(e.sparkSession, resolve(parent))
+      assignmentDf(e.sparkSession,
+        unionFindResolved(e.select("u", "v").collect(), keepRoots = true))
     } else distributedAssignment(
       dedupForRounds(e, checkpoint, edgesDistinct), checkpoint, maxIter, onRound)
   }
@@ -105,13 +105,19 @@ object ConnectedComponents {
       // joinAttach via coalesce), and a root's cluster id IS itself — so
       // the shipped map carries only non-root members (~the duplicate
       // docs), typically a third smaller than the full node map
-      val resolved = resolve(unionFind(e.select("u", "v").collect()), keepRoots = false)
+      val rows = subTimed("collect")(e.select("u", "v").collect())
+      val resolved = subTimed("unionfind")(
+        unionFindResolved(rows, keepRoots = false))
       if (resolved.size() <= MaxBroadcastNodes) {
         // the map is already ON the driver — sc.broadcast ships it once
         // (torrent), unlike a broadcast-hinted DataFrame whose execution
         // would round-trip every row driver → executors → driver
-        // (measured +2 s, round 3). Lookup is a per-row map get.
-        val bc = spark.sparkContext.broadcast(resolved)
+        // (measured +2 s, round 3). Lookup is a per-row map get. (A
+        // sorted-parallel-arrays variant — binary-search lookup, no
+        // per-executor rehash on deserialize — was measured WORSE here:
+        // the driver-side sort of ~1M id strings costs more than the
+        // rehash it saves, 1.5 s vs 0.8 s on the broadcast sub-phase.)
+        val bc = subTimed("broadcast")(spark.sparkContext.broadcast(resolved))
         val look = udf((s: String) => {
           val v = bc.value.get(s); if (v == null) s else v
         }).asNondeterministic() // deterministic in fact; flag keeps the
@@ -121,6 +127,19 @@ object ConnectedComponents {
       } else joinAttach(universe, assignmentDf(spark, resolved))
     } else joinAttach(universe, distributedAssignment(
       dedupForRounds(e, checkpoint, edgesDistinct), checkpoint, maxIter, onRound))
+  }
+
+  /** Sub-phase timing for the driver finisher (same env switch as the
+    * pipeline's stage timer): the finisher is the pipeline's serial tail,
+    * and per-phase prints are what tells collect vs union-find vs
+    * broadcast apart when attacking it.
+    */
+  private def subTimed[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.contains("GRAFT_STAGE_TIMING"))
+      println(f"CCSUB $name%-10s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
   }
 
   private def joinAttach(universe: DataFrame, assignment: DataFrame): DataFrame =
@@ -172,46 +191,66 @@ object ConnectedComponents {
     * fetches partitions one round-trip at a time — numShufflePartitions
     * sequential jobs; the localMaxEdges guard already bounds driver
     * memory.)
+    *
+    * Ids are interned to dense ints once; finds then chase an int array
+    * (measured ~3× over the previous String-HashMap parent chains at
+    * 1.4M edges — this runs on the driver, so every saved second is a
+    * serial second at BOTH cluster sizes). Union keeps the min *name* at
+    * the root, so the invariant "root = lexicographic min of its
+    * component" holds inductively and the output is unchanged.
+    *
+    * Returns node → final root. `keepRoots = false` omits root
+    * self-entries — correct wherever the consumer falls back to identity
+    * for absent keys (both of [[runWithUniverse]]'s attach paths);
+    * [[run]] keeps them because its contract is "every node appearing in
+    * edges is returned".
     */
-  private def unionFind(rows: Array[org.apache.spark.sql.Row]): java.util.HashMap[String, String] = {
-    val parent = new java.util.HashMap[String, String]()
-    def find(x: String): String = {
+  private def unionFindResolved(rows: Array[org.apache.spark.sql.Row],
+                                keepRoots: Boolean): java.util.HashMap[String, String] = {
+    val nEdges = rows.length
+    val idOf = new java.util.HashMap[String, Integer](math.max(16, nEdges * 2))
+    var names = new Array[String](math.max(16, nEdges))
+    var parent = new Array[Int](math.max(16, nEdges))
+    var count = 0
+    def intern(s: String): Int = {
+      val existing = idOf.get(s)
+      if (existing != null) existing.intValue()
+      else {
+        if (count == names.length) {
+          names = java.util.Arrays.copyOf(names, names.length * 2)
+          parent = java.util.Arrays.copyOf(parent, parent.length * 2)
+        }
+        names(count) = s
+        parent(count) = count
+        idOf.put(s, Integer.valueOf(count))
+        count += 1
+        count - 1
+      }
+    }
+    def find(x: Int): Int = {
       var root = x
-      while (parent.get(root) != root) root = parent.get(root)
+      while (parent(root) != root) root = parent(root)
       var cur = x // path compression
-      while (parent.get(cur) != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
+      while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
       root
     }
     var ri = 0
-    while (ri < rows.length) {
+    while (ri < nEdges) {
       val row = rows(ri)
       ri += 1
-      val u = row.getString(0)
-      val v = row.getString(1)
-      if (!parent.containsKey(u)) parent.put(u, u)
-      if (!parent.containsKey(v)) parent.put(v, v)
-      val ru = find(u)
-      val rv = find(v)
-      if (ru != rv) { // min id wins as the representative
-        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      val ru = find(intern(row.getString(0)))
+      val rv = find(intern(row.getString(1)))
+      if (ru != rv) { // min name wins as the representative
+        if (names(ru).compareTo(names(rv)) < 0) parent(rv) = ru
+        else parent(ru) = rv
       }
     }
-    parent
-  }
-
-  /** node → final root (full path resolution). `keepRoots = false` omits
-    * root self-entries — correct wherever the consumer falls back to
-    * identity for absent keys (both of [[runWithUniverse]]'s attach
-    * paths); [[run]] keeps them because its contract is "every node
-    * appearing in edges is returned".
-    */
-  private def resolve(parent: java.util.HashMap[String, String],
-                      keepRoots: Boolean = true): java.util.HashMap[String, String] = {
-    val out = new java.util.HashMap[String, String](parent.size())
-    parent.keySet().forEach { k =>
-      var root = k
-      while (parent.get(root) != root) root = parent.get(root)
-      if (keepRoots || root != k) out.put(k, root)
+    val out = new java.util.HashMap[String, String](count)
+    var i = 0
+    while (i < count) {
+      val r = find(i)
+      if (keepRoots || r != i) out.put(names(i), names(r))
+      i += 1
     }
     out
   }
