@@ -39,9 +39,11 @@ object ConnectedComponents {
   /** Past this many NODES the resolved component map is no longer
     * broadcast for the map-side attach (a 4M-entry string map is
     * ~400-500 MB serialized per executor); larger assignments re-ship
-    * through parallelize + a shuffled join instead.
+    * through parallelize + a shuffled join instead. Package-visible so
+    * the boundary parity test can exercise the join-attach fallback
+    * without a 4M-node fixture.
     */
-  private val MaxBroadcastNodes = 4000000
+  private[pipeline] val MaxBroadcastNodes = 4000000
 
   /** edges(src, dst) undirected, self-loops ignored →
     * assignment(conv_id, cluster_id); only nodes appearing in edges are
@@ -96,7 +98,8 @@ object ConnectedComponents {
                       onRound: (Int, Long, Long) => Unit = (_, _, _) => (),
                       localMaxEdges: Long = 0L,
                       edgesDistinct: Boolean = false,
-                      knownEdgeCount: Option[Long] = None): DataFrame = {
+                      knownEdgeCount: Option[Long] = None,
+                      maxBroadcastNodes: Int = MaxBroadcastNodes): DataFrame = {
     val spark = edges.sparkSession
     val e = canonicalize(edges, checkpoint, edgesDistinct)
     if (useLocalFinisher(e, localMaxEdges, knownEdgeCount)) {
@@ -108,7 +111,7 @@ object ConnectedComponents {
       val rows = subTimed("collect")(e.select("u", "v").collect())
       val resolved = subTimed("unionfind")(
         unionFindResolved(rows, keepRoots = false))
-      if (resolved.size() <= MaxBroadcastNodes) {
+      if (resolved.size() <= maxBroadcastNodes) {
         // the map is already ON the driver — sc.broadcast ships it once
         // (torrent), unlike a broadcast-hinted DataFrame whose execution
         // would round-trip every row driver → executors → driver

@@ -108,6 +108,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(viaJoin == attached)
   }
 
+  test("runWithUniverse: over-bound resolved map falls back to join attach, identical output") {
+    // finisher still runs (edges under localMaxEdges) but the resolved
+    // component map exceeds maxBroadcastNodes → the shuffled join-attach
+    // fallback must produce the same assignment as the broadcast lookup
+    val edges = Seq("c" -> "b", "b" -> "a", "x" -> "y", "q" -> "p").toDF("src", "dst")
+    val universe = Seq("a", "b", "c", "x", "y", "p", "q", "lonely").toDF("conv_id")
+    val expect = Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "p" -> "p", "q" -> "p", "lonely" -> "lonely")
+    // resolved map has 4 non-root entries; bound of 2 forces the fallback
+    val viaJoin = ConnectedComponents
+      .runWithUniverse(edges, universe, localMaxEdges = 1000L,
+        maxBroadcastNodes = 2)
+      .as[(String, String)].collect().toMap
+    assert(viaJoin == expect)
+    val viaBroadcast = ConnectedComponents
+      .runWithUniverse(edges, universe, localMaxEdges = 1000L)
+      .as[(String, String)].collect().toMap
+    assert(viaBroadcast == expect)
+  }
+
   test("knownEdgeCount steers the finisher guard without a count pass") {
     val edges = Seq("c" -> "b", "b" -> "a", "x" -> "y").toDF("src", "dst")
     val universe = Seq("a", "b", "c", "x", "y", "lonely1").toDF("conv_id")
