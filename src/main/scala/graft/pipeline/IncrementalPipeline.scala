@@ -27,10 +27,17 @@ import org.apache.spark.sql.functions._
   * Components of (membership ∪ re-derived delta edges) therefore equal
   * components of the full edge set, and cluster ids agree because both
   * use min-member labeling. The one divergence window is the block-size
-  * cap: a combined block pushed over `maxBlockSize` only by the union of
-  * batches is dropped here by the same combined-count rule the full run
-  * applies, so drop decisions agree too (counts are per-doc-distinct by
-  * kernel construction — every block kernel dedups keys per doc).
+  * cap: DELTA pairs of a combined block pushed over `maxBlockSize` are
+  * dropped by the same combined-count rule the full run applies (counts
+  * are per-doc-distinct by kernel construction — every block kernel
+  * dedups keys per doc), but old-old links the PRIOR run derived from
+  * that key while it was still under the cap persist through the
+  * membership edges, where a from-scratch combined run would drop the
+  * whole key. That is retained recall under monotone ingest — links once
+  * established are not retracted because a block later grew hot — and it
+  * is the one place incremental ⊋ recompute; the drop audit
+  * (`droppedKeys`) names every such key, so the divergence is never
+  * silent.
   *
   * Scale shape (the 100-TB deployment this is for):
   *  - the prior corpus is never re-blocked when `priorBlocks` (the blocks
@@ -205,5 +212,85 @@ object IncrementalPipeline {
 
     Result(reclustered.unionByName(unaffected.select("conv_id", "cluster_id")),
       matched, droppedKeys, newDocs, newBlocks)
+  }
+
+  /** `clusters`: every surviving id with its (possibly re-labeled)
+    * cluster id — retracted ids are gone. `removedEdges`: the matched
+    * edges deleted because they touched a retracted id (the audit trail
+    * of WHY clusters split).
+    */
+  case class RetractResult(clusters: DataFrame, removedEdges: DataFrame)
+
+  /** Retraction: delete conversations from an already-clustered corpus
+    * and heal the affected clusters — the right-to-be-forgotten /
+    * bad-ingest-rollback maintenance operation, and [[run]]'s inverse
+    * under the same affected-subgraph discipline.
+    *
+    * Equivalence argument (mirrors [[run]]'s): a full recompute over the
+    * remaining corpus matches exactly the prior matched edges whose
+    * endpoints both survive — blocking is per-doc deterministic and
+    * scoring pairwise deterministic, so removing docs removes exactly the
+    * pairs that referenced them. Components of (prior edges minus edges
+    * touching retracted ids) over the surviving universe therefore equal
+    * the recompute's components; min-member labeling keeps ids aligned
+    * (a cluster whose label doc was retracted relabels to its new min).
+    * The one divergence window is again the block-size cap, mirrored:
+    * a key the prior run dropped as oversize may fall back UNDER the cap
+    * once members are retracted — the recompute would then generate that
+    * key's pairs, while retraction (which never re-scores) will not.
+    * Links are never invented, only released; the prior run's drop audit
+    * names every such key.
+    *
+    * Scale shape: the retract set is typically tiny (a deletion request),
+    * so every join against it broadcasts; the corpus contributes one
+    * semi- + one anti-join scan of the clusters table and one anti-join
+    * scan of the edges snapshot — CC and its driver finisher see only the
+    * subgraph of clusters that actually contain a retracted id.
+    *
+    * @param retractIds    (conv_id) — conversations to delete
+    * @param priorClusters (conv_id, cluster_id) from the prior run
+    * @param priorEdges    the prior run's matched-edge snapshot
+    *                      (conv_a, conv_b[, score]) —
+    *                      [[Pipeline.StageResult.matchedEdges]] or the
+    *                      accumulated [[Result.matchedEdges]] appends
+    */
+  def retract(retractIds: DataFrame, priorClusters: DataFrame,
+              priorEdges: DataFrame,
+              localMaxEdges: Long =
+                ConnectedComponents.defaultLocalMaxEdges): RetractResult = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val ids = retractIds.select("conv_id").distinct()
+      .localCheckpoint(false, ser) // consumed by four joins below
+    // only clusters containing a retracted id can change
+    val affectedClusterIds = priorClusters
+      .join(ids, Seq("conv_id"), "left_semi")
+      .select("cluster_id").distinct()
+      .localCheckpoint(false, ser)
+    val affectedMembers = priorClusters
+      .join(affectedClusterIds, Seq("cluster_id"), "left_semi")
+    val unaffected = priorClusters
+      .join(affectedClusterIds, Seq("cluster_id"), "left_anti")
+    val survivors = affectedMembers.join(ids, Seq("conv_id"), "left_anti")
+      .localCheckpoint(true, ser) // feeds the universe + the edge restrict
+    val edges = priorEdges.select("conv_a", "conv_b")
+    val idsAsA = ids.withColumnRenamed("conv_id", "conv_a")
+    val idsAsB = ids.withColumnRenamed("conv_id", "conv_b")
+    val removedEdges = edges.join(idsAsA, Seq("conv_a"), "left_semi")
+      .unionByName(edges.join(idsAsB, Seq("conv_b"), "left_semi"))
+      .distinct()
+    // surviving edges inside affected clusters: a matched edge's endpoints
+    // share a prior cluster, so one endpoint ∈ survivors implies both —
+    // one semi-join restricts to the affected subgraph
+    val keptEdges = edges
+      .join(idsAsA, Seq("conv_a"), "left_anti")
+      .join(idsAsB, Seq("conv_b"), "left_anti")
+      .join(survivors.select(col("conv_id").as("conv_a")),
+        Seq("conv_a"), "left_semi")
+      .select(col("conv_a").as("src"), col("conv_b").as("dst"))
+    val reclustered = ConnectedComponents.runWithUniverse(
+      keptEdges, survivors.select("conv_id"), localMaxEdges = localMaxEdges)
+    RetractResult(
+      reclustered.unionByName(unaffected.select("conv_id", "cluster_id")),
+      removedEdges)
   }
 }

@@ -44,7 +44,14 @@ object Pipeline {
       prefixChars: Int = 256,
       levMaxDist: Int = 128)
 
-  case class StageResult(clusters: DataFrame, droppedBlocks: DataFrame)
+  /** `matchedEdges` (conv_a, conv_b, score) is the run's matched-pair
+    * set — the audit trail of why clusters merged, and the snapshot
+    * [[IncrementalPipeline.retract]] needs to heal clusters after
+    * deletions without a corpus-wide relink. Lazy on the in-memory path
+    * (a filter over the cached scored stage).
+    */
+  case class StageResult(clusters: DataFrame, droppedBlocks: DataFrame,
+                         matchedEdges: DataFrame)
 
   /** Per-stage wall-clock of the most recent non-checkpointed run on this
     * driver (seconds; reset at run start) — consumed by the bench harness
@@ -220,7 +227,8 @@ object Pipeline {
     // — its own eager checkpoint was a pure extra pass; CC's first
     // distinct materializes it in the same job (TableIO keeps the snapshot
     // for resume)
-    val edgesDf = Scoring.matchedPairs(scored, cfg.scoreThreshold)
+    val matchedDf = Scoring.matchedPairs(scored, cfg.scoreThreshold)
+    val edgesDf = matchedDf
       .select(col("conv_a").as("src"), col("conv_b").as("dst"))
     val edges = io match {
       case Some(_) => stage("edges")(edgesDf)
@@ -255,6 +263,6 @@ object Pipeline {
         knownEdgeCount = knownEdges)
     }
 
-    StageResult(clusters, dropped)
+    StageResult(clusters, dropped, matchedDf)
   }
 }

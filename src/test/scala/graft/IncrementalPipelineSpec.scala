@@ -81,6 +81,66 @@ class IncrementalPipelineSpec extends SparkSpec {
     assertSameClusters(withSnap.clusters, Pipeline.run(all, cfg).clusters)
   }
 
+  test("retract: deleting conversations reproduces the full recompute over the remainder") {
+    val priorRun = Pipeline.run(all, cfg)
+    // delete one whole duplicate family (base + both dups) and one lone
+    // dup of another base — exercises cluster removal AND cluster shrink
+    val gone = all.select("conv_id").distinct()
+      .where(baseIdx === 7 || (baseIdx === 11 && dupIdx === 2))
+    val r = IncrementalPipeline.retract(gone, priorRun.clusters,
+      priorRun.matchedEdges)
+    val remaining = all.join(gone, Seq("conv_id"), "left_anti")
+    assertSameClusters(r.clusters, Pipeline.run(remaining, cfg).clusters)
+    // retracted ids are gone from the output; removed edges all touch one
+    val goneSet = gone.as[String].collect().toSet
+    assert(r.clusters.where(col("conv_id").isin(goneSet.toSeq: _*)).isEmpty)
+    val removed = r.removedEdges.as[(String, String)].collect()
+    assert(removed.nonEmpty &&
+      removed.forall(e => goneSet(e._1) || goneSet(e._2)))
+  }
+
+  test("retract: deleting a bridge doc splits its cluster") {
+    // chain A—B—C: B shares a long token run with each of A and C, but A
+    // and C share nothing — jaccard-only scoring links A-B and B-C while
+    // A-C never pairs (no shared block key). Retracting B must split.
+    def turns(id: String, toks: Seq[String]) =
+      toks.grouped(10).zipWithIndex.map { case (g, i) =>
+        (id, i, "user", g.mkString(" "), "", new java.sql.Timestamp(1000L * i))
+      }.toSeq
+    val aToks = (1 to 30).map(i => s"alpha$i")
+    val cToks = (1 to 30).map(i => s"gamma$i")
+    val bToks = aToks.take(15) ++ cToks.take(15)
+    val chain = (turns("A", aToks) ++ turns("B", bToks) ++ turns("C", cToks))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val chainCfg = Pipeline.Config(
+      weights = Scoring.Weights(jaccard = 1.0, jaroWinkler = 0.0, levenshtein = 0.0),
+      scoreThreshold = 0.3, maxBlockSize = 500)
+    val run0 = Pipeline.run(chain, chainCfg)
+    // precondition: one cluster via B, no direct A-C edge
+    assert(run0.clusters.select("cluster_id").distinct().count() == 1)
+    // pair orientation is canonical in hid (hash) order, not string order
+    val e0 = run0.matchedEdges.select("conv_a", "conv_b")
+      .as[(String, String)].collect()
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    assert(e0 == Set("A" -> "B", "B" -> "C"), s"unexpected edges $e0")
+    val r = IncrementalPipeline.retract(
+      Seq("B").toDF("conv_id"), run0.clusters, run0.matchedEdges)
+    val got = r.clusters.as[(String, String)].collect().toMap
+    assert(got == Map("A" -> "A", "C" -> "C"), s"expected a split, got $got")
+  }
+
+  test("retract: empty retract set is an identity; retracting everything empties the table") {
+    val priorRun = Pipeline.run(prior, cfg)
+    val none = IncrementalPipeline.retract(spark.emptyDataset[String]
+      .toDF("conv_id"), priorRun.clusters, priorRun.matchedEdges)
+    assertSameClusters(none.clusters, priorRun.clusters)
+    assert(none.removedEdges.isEmpty)
+    val everything = IncrementalPipeline.retract(
+      prior.select("conv_id").distinct(), priorRun.clusters,
+      priorRun.matchedEdges)
+    assert(everything.clusters.isEmpty)
+  }
+
   test("combined-size cap drops are reported and bounded, never silent") {
     // shingleK=1 + tiny cap: stopword token blocks blow past the cap only
     // once both batches are counted together
