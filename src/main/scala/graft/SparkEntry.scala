@@ -618,6 +618,23 @@ object SparkEntry {
       IsfSets.contextSim(cands, docTf, "contents")
         .select(col("qid"), col("entity"), col("mention"),
           round(col("context_sim"), 4).as("context_sim"))
+    }),
+
+    // ---- retraction: delete conversations from a clustered corpus and
+    //      heal the affected clusters from the matched-edge snapshot —
+    //      deterministic self-generated input → constant golden oracle
+    //      (base 7's whole triple vanishes, base 11 shrinks to a pair) ----
+    "q51_retract" -> ((s, d) => {
+      val tr = TranscriptGen.transcripts(s, nBase = 50, dupsPerBase = 2)
+      val run0 = Pipeline.run(tr)
+      val gone = tr.select("conv_id").distinct().where(
+        substring(col("conv_id"), 2, 9).cast("long") === 7 ||
+          (substring(col("conv_id"), 2, 9).cast("long") === 11 &&
+            split(col("conv_id"), "_").getItem(1).cast("int") === 2))
+      IncrementalPipeline.retract(gone, run0.clusters, run0.matchedEdges)
+        .clusters
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     })
   )
 
@@ -1570,6 +1587,13 @@ object SparkEntry {
                        FROM tp GROUP BY 1, 2)
           SELECT c.qid, c.entity, c.mention,
                  round(coalesce(s.context_sim, 0), 4) AS context_sim
-          FROM cands c LEFT JOIN scored s USING (qid, entity)"""
+          FROM cands c LEFT JOIN scored s USING (qid, entity)""",
+
+    // q51: fully deterministic self-generated input (see q28) — a correct
+    // retraction removes base 7's 3-clique entirely and shrinks base 11's
+    // to a pair, leaving 48 intact triples: a constant golden
+    "q51_retract" ->
+      """SELECT * FROM (VALUES (2::BIGINT, 1::BIGINT), (3::BIGINT, 48::BIGINT))
+         AS t(cluster_size, n_clusters)"""
   )
 }
