@@ -156,10 +156,28 @@ object Bench {
       val repsPerBlock =
         sys.env.getOrElse("SPARK_GRAFT_CLUSTER_REPS_PER_BLOCK", "2").toInt
       var turnsLo = 0L
+      // One lost executor (ambient interference has killed executor JVMs
+      // mid-rep on this host) must not zero out the whole sweep: retry a
+      // failed block once with a fresh local-cluster, and tolerate a block
+      // that fails twice as long as BOTH configs still land ≥1 rep — the
+      // interleave then degrades gracefully instead of reporting nothing.
       Seq(exLo, exHi, exLo, exHi).foreach { ex =>
-        val t = block(ex, repsPerBlock)
-        if (ex == exLo) turnsLo = t
+        val t =
+          try block(ex, repsPerBlock)
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] block($ex) failed, retrying once: $e")
+              try block(ex, repsPerBlock)
+              catch {
+                case e2: Throwable =>
+                  System.err.println(s"[bench] block($ex) retry failed, skipping: $e2")
+                  -1L
+              }
+          }
+        if (ex == exLo && t > 0) turnsLo = t
       }
+      require(repLog.contains(exLo) && repLog.contains(exHi) && turnsLo > 0,
+        "no successful rep at one of the configs")
       def stagesJson(st: Map[String, Double]): String =
         st.toSeq.sortBy(_._1).map { case (k, v) => f""""$k":$v%.2f""" }
           .mkString("{", ",", "}")

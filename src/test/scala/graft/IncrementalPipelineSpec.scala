@@ -129,6 +129,26 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(got == Map("A" -> "A", "C" -> "C"), s"expected a split, got $got")
   }
 
+  test("maintenance loop: retract then ingest against pruned snapshots ≡ full recompute") {
+    // day 0: cluster the prior corpus; day 1: a deletion request arrives,
+    // then a fresh ingest — the delta runs against snapshots with the
+    // retracted ids dropped (the caller's snapshot maintenance duty)
+    val docs0 = Pipeline.docsPayload(prior, cfg)
+    val blocks0 = Pipeline.blocksPayload(docs0, cfg)
+    val run0 = Pipeline.run(prior, cfg)
+    val gone = prior.select("conv_id").distinct()
+      .where(baseIdx % 5 === 0) // every 5th base's prior members
+    val afterRetract = IncrementalPipeline.retract(gone, run0.clusters,
+      run0.matchedEdges)
+    val docs1 = docs0.join(gone, Seq("conv_id"), "left_anti")
+    val blocks1 = blocks0.join(
+      docs1.select(col("hid").as("conv_id")), Seq("conv_id"), "left_semi")
+    val inc = IncrementalPipeline.run(delta, docs1, afterRetract.clusters,
+      cfg, priorBlocks = Some(blocks1))
+    val remaining = all.join(gone, Seq("conv_id"), "left_anti")
+    assertSameClusters(inc.clusters, Pipeline.run(remaining, cfg).clusters)
+  }
+
   test("retract: empty retract set is an identity; retracting everything empties the table") {
     val priorRun = Pipeline.run(prior, cfg)
     val none = IncrementalPipeline.retract(spark.emptyDataset[String]
