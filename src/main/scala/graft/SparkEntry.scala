@@ -635,6 +635,23 @@ object SparkEntry {
         .clusters
         .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // ---- incremental delta ingest against prior snapshots: withhold one
+    //      member of every 5th planted triple, link it back via
+    //      IncrementalPipeline — the combined clusters must equal the full
+    //      recompute's 50 triples (deterministic input → constant golden) ----
+    "q52_incremental" -> ((s, d) => {
+      val tr = TranscriptGen.transcripts(s, nBase = 50, dupsPerBase = 2)
+      val isDelta = substring(col("conv_id"), 2, 9).cast("long") % 5 === 0 &&
+        split(col("conv_id"), "_").getItem(1).cast("int") === 2
+      val prior = tr.where(!isDelta)
+      val run0 = Pipeline.run(prior)
+      val inc = IncrementalPipeline.run(tr.where(isDelta),
+        Pipeline.docsPayload(prior, Pipeline.Config()), run0.clusters)
+      inc.clusters
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     })
   )
 
@@ -1594,6 +1611,12 @@ object SparkEntry {
     // to a pair, leaving 48 intact triples: a constant golden
     "q51_retract" ->
       """SELECT * FROM (VALUES (2::BIGINT, 1::BIGINT), (3::BIGINT, 48::BIGINT))
-         AS t(cluster_size, n_clusters)"""
+         AS t(cluster_size, n_clusters)""",
+
+    // q52: deterministic self-generated input (see q28) — a correct
+    // incremental ingest re-attaches each withheld third member to its
+    // prior pair cluster, restoring all 50 planted triples
+    "q52_incremental" ->
+      "SELECT 3::BIGINT AS cluster_size, 50::BIGINT AS n_clusters"
   )
 }
