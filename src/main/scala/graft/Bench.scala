@@ -129,6 +129,11 @@ object Bench {
           .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+          // delay scheduling idles cores waiting for localCheckpoint-block
+          // locality in second-scale stages; interleaved A/B at 6.72M turns
+          // measured wait=0 faster at BOTH cluster sizes ([2,2] 121.0 vs
+          // 125.8 s, [8,2] 42.6 vs 49.0 s) — identical at both levels
+          .config("spark.locality.wait", "0")
           .config("spark.ui.enabled", "false")
           .getOrCreate()
         s.sparkContext.setLogLevel("ERROR")

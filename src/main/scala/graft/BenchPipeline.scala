@@ -99,6 +99,10 @@ object BenchPipeline {
       // so keep the blocking aggregation hash-based instead of the default
       // 128-entry sort fallback
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      // measured at both cluster sizes (see Bench.clusterScaling): delay
+      // scheduling only idles cores here, wait=0 wins at [2,2] AND [8,2]
+      .config("spark.locality.wait",
+        sys.env.getOrElse("SPARK_GRAFT_LOCALITY_WAIT", "0"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
