@@ -79,4 +79,34 @@ final class ParquetTableIO(spark: SparkSession, root: String) extends TableIO {
     if (Files.exists(Paths.get(s"$root/_metrics")))
       Some(spark.read.parquet(s"$root/_metrics"))
     else None
+
+  /** Iceberg-style snapshot expiry: delete all but the newest `keepLast`
+    * snapshots of `table` (the committed one always survives — `keepLast`
+    * is clamped to ≥ 1). Old snapshots are the time-travel / resume
+    * sources, but on a lake they accumulate a full table copy per commit;
+    * periodic expiry is the maintenance half of every snapshot write this
+    * layer does (the real-Iceberg swap-in is `expireSnapshots`).
+    * Returns the ids of the snapshots deleted.
+    */
+  def expireSnapshots(table: String, keepLast: Int): Seq[Int] = {
+    val latest = latestSnapshot(table).getOrElse(return Nil)
+    val cutoff = latest - math.max(1, keepLast) + 1
+    val dirPath = Paths.get(dir(table))
+    if (!Files.isDirectory(dirPath)) return Nil
+    val expired = Files.list(dirPath).toArray.toSeq.map(_.toString)
+      .flatMap { p =>
+        val name = Paths.get(p).getFileName.toString
+        if (name.startsWith("snapshot=")) {
+          val id = name.stripPrefix("snapshot=").toInt
+          if (id < cutoff) Some(id) else None
+        } else None
+      }.sorted
+    expired.foreach { id =>
+      val snap = Paths.get(dir(table), s"snapshot=$id")
+      // delete children depth-first, then the snapshot dir itself
+      Files.walk(snap).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    expired
+  }
 }

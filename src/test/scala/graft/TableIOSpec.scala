@@ -45,4 +45,23 @@ class TableIOSpec extends SparkSpec {
     val io = new ParquetTableIO(spark, Files.createTempDirectory("tio3").toString)
     intercept[IllegalStateException](io.read("nope"))
   }
+
+  test("expireSnapshots keeps the newest keepLast, never the committed one") {
+    val root = Files.createTempDirectory("tio4").toString
+    val io = new ParquetTableIO(spark, root)
+    (0 to 3).foreach(i => io.write(Seq((i, s"v$i")).toDF("id", "v"), "t"))
+
+    assert(io.expireSnapshots("t", keepLast = 2) == Seq(0, 1))
+    assert(!Files.exists(Paths.get(s"$root/t/snapshot=1")))
+    assert(Files.exists(Paths.get(s"$root/t/snapshot=2")))
+    // committed snapshot untouched, reads keep working
+    assert(io.read("t").as[(Int, String)].collect().toSeq == Seq((3, "v3")))
+
+    // keepLast is clamped to >= 1: the committed snapshot survives
+    assert(io.expireSnapshots("t", keepLast = 0) == Seq(2))
+    assert(io.read("t").count() == 1)
+    // idempotent; unknown table is a no-op
+    assert(io.expireSnapshots("t", keepLast = 1).isEmpty)
+    assert(io.expireSnapshots("nope", keepLast = 1).isEmpty)
+  }
 }
