@@ -267,6 +267,42 @@ object Bench {
     val clusterBase = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_NBASE", "480000").toLong
     val cluster = clusterScaling(clusterBase)
 
+    // delta-maintenance evidence (VERDICT r4 item 4): the incremental
+    // pipeline vs a full recompute over the same combined corpus, parity
+    // asserted at bench scale before timing. Same protocol input size as
+    // the cluster block; SPARK_GRAFT_INC_NBASE=0 disables.
+    val incBase = sys.env.getOrElse("SPARK_GRAFT_INC_NBASE", clusterBase.toString).toLong
+    val incReps = sys.env.getOrElse("SPARK_GRAFT_INC_REPS", "2").toInt
+    val incremental: String =
+      if (incBase <= 0) """{"skipped":true}"""
+      else try {
+        val s = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .appName("graft-bench-incremental")
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"))
+          .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+          .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            (16 * 1024 * 1024).toString)
+          .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+          .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+          .config("spark.locality.wait", "0")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("ERROR")
+        try {
+          val r = BenchIncremental.measure(s, incBase, incReps)
+          f"""{"turns":${r.turns},"delta_turns":${r.deltaTurns},""" +
+            f""""full_sec":${r.fullSec}%.2f,"inc_sec":${r.incSec}%.2f,""" +
+            f""""speedup":${r.fullSec / r.incSec}%.2f,"parity":${r.parity}}"""
+        } finally s.stop()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] incremental block failed: $e")
+          """{"error":"incremental bench failed"}"""
+      }
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -277,7 +313,7 @@ object Bench {
         f""""turns_per_sec_lo":$thrLo%.1f,"turns_per_sec_hi":$thrHi%.1f,""" +
         f""""scaling_efficiency":$eff%.3f}"""
     val json =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","pipeline":$pipeline,"pipeline_cluster":$cluster}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","pipeline":$pipeline,"pipeline_cluster":$cluster,"incremental":$incremental}"""
     println(json)
     // also write to a file: the driver greps the sbt log tail for the JSON
     // line, and sbt interleaves [error]-stream INFO noise around it — the
@@ -285,5 +321,14 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // compact criterion-bearing line, printed LAST: the full line above is
+    // ~3.5 kB (52 per-query timings) and the driver's log-tail window can
+    // clip its head mid-line (BENCH_r04 "parsed" was null for exactly this
+    // reason) — this line drops the per-query map (it lives in the file
+    // and in the full line) so the tail always carries one complete,
+    // parseable JSON object ending the stream.
+    val compact =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{},"errors":$errs,"sf":"$sfDir","full_queries_in":"$out","pipeline":$pipeline,"pipeline_cluster":$cluster,"incremental":$incremental}"""
+    println(compact)
   }
 }

@@ -31,22 +31,17 @@ object BenchIncremental {
     spark.read.parquet(dir)
   }
 
-  def main(args: Array[String]): Unit = {
-    val nBase = if (args.length > 0) args(0).toLong else 100000L
-    val cores = if (args.length > 1) args(1).toInt else 32
-    val reps = if (args.length > 2) args(2).toInt else 3
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"))
-      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        (16 * 1024 * 1024).toString)
-      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp"))
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+  /** One full measurement: (total turns, delta turns, full-recompute sec,
+    * incremental sec, parity). Reused by [[Bench]]'s `incremental` JSON
+    * block so the driver's artifact carries the delta-vs-recompute
+    * evidence, not just BASELINE.md prose. The parity check (incremental
+    * clusters ≡ full-recompute clusters at bench scale) doubles as the
+    * untimed warmup of both paths.
+    */
+  case class Result(turns: Long, deltaTurns: Long, fullSec: Double,
+                    incSec: Double, parity: Boolean)
+
+  def measure(spark: SparkSession, nBase: Long, reps: Int): Result = {
     val cfg = Pipeline.Config()
 
     val all0 = TranscriptGen.transcripts(spark, nBase, dupsPerBase = 2)
@@ -84,25 +79,48 @@ object BenchIncremental {
       val s = (System.nanoTime() - t0) / 1e9; clear(); s
     }
 
-    // scale-size parity check (once, untimed): incremental ≡ full
+    // scale-size parity check (once, untimed — doubles as the warmup of
+    // both paths' JIT + shuffle dirs): incremental ≡ full
     val fullC = Pipeline.run(full, cfg).clusters
     val incC = IncrementalPipeline.run(delta, priorDocs, priorClusters, cfg,
       priorBlocks = Some(priorBlocks)).clusters
     val diff = fullC.exceptAll(incC).count() + incC.exceptAll(fullC).count()
-    require(diff == 0, s"incremental != full recompute: $diff differing rows")
+    val parity = diff == 0
+    if (!parity)
+      System.err.println(s"[bench] incremental != full recompute: $diff differing rows")
     clear()
 
-    timeFull(); timeInc() // warmup (JIT + shuffle dirs), untimed
     // interleave the two paths so host-load phases hit both equally
     val runs = (1 to reps).map { i =>
       val f = timeFull(); val inc = timeInc()
       println(f"INC_RUN $i full=$f%.2f inc=$inc%.2f")
       (f, inc)
     }
-    val bestF = runs.map(_._1).min
-    val bestI = runs.map(_._2).min
-    println(f"INC_BENCH turns=$totalTurns delta_turns=$deltaTurns " +
-      f"full_sec=$bestF%.2f inc_sec=$bestI%.2f speedup=${bestF / bestI}%.2f " +
+    Result(totalTurns, deltaTurns, runs.map(_._1).min, runs.map(_._2).min, parity)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nBase = if (args.length > 0) args(0).toLong else 100000L
+    val cores = if (args.length > 1) args(1).toInt else 32
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"))
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        (16 * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp"))
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      .config("spark.locality.wait",
+        sys.env.getOrElse("SPARK_GRAFT_LOCALITY_WAIT", "0"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val r = measure(spark, nBase, reps)
+    require(r.parity, "incremental != full recompute")
+    println(f"INC_BENCH turns=${r.turns} delta_turns=${r.deltaTurns} " +
+      f"full_sec=${r.fullSec}%.2f inc_sec=${r.incSec}%.2f speedup=${r.fullSec / r.incSec}%.2f " +
       f"cores=$cores reps=$reps")
     spark.stop()
   }

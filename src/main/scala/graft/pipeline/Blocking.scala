@@ -56,11 +56,30 @@ object Blocking {
     * shared run of ≥ w + k − 1 tokens at a fraction of the key rate). Hot
     * exact keys are bounded by the downstream block cap, so the union
     * stays sub-quadratic.
+    *
+    * Plan shape: ONE projection per doc — the two kernel families are
+    * `array_union`ed per row and exploded once. The first cut unioned two
+    * separate explodes, which scanned the cached docs payload TWICE (the
+    * union's branches are independent stages over the same cache) — at
+    * the 6.72M-turn bench input that is an extra full pass over the
+    * run's largest cached table on a bandwidth-bound stage. Key-set
+    * semantics are identical: both kernels dedup per doc, the seed
+    * namespacing keeps the families structurally disjoint, and both emit
+    * nothing for empty token arrays (so the shared `size > 0` guard
+    * drops no key the two-branch plan would have kept).
     */
   def hybridBlocks(docs: DataFrame, exactK: Int, lshShingleK: Int,
-                   numHashes: Int, bands: Int, winnowW: Int = 1): DataFrame =
-    minhashLshBlocks(docs, lshShingleK, numHashes, bands)
-      .unionByName(winnowedShingleBlocks(docs, exactK, winnowW))
+                   numHashes: Int, bands: Int, winnowW: Int = 1): DataFrame = {
+    val exactKeys =
+      if (winnowW <= 1) shingle_hashes(col("tokens"), exactK, ExactShingleSeed)
+      else winnowed_shingle_hashes(col("tokens"), exactK, winnowW, ExactShingleSeed)
+    docs
+      .where(size(col("tokens")) > 0)
+      .select(col("conv_id"),
+        explode(array_union(
+          minhash_band_keys(col("tokens"), lshShingleK, numHashes, bands),
+          exactKeys)).as("block_key"))
+  }
 
   /** MinHash-LSH blocking: docs(conv_id, tokens) → (block_key, conv_id).
     * Signature of `numHashes` min-hashes over k-shingles, cut into `bands`

@@ -182,7 +182,19 @@ object Pipeline {
     // cached docs payload shrinks by the whole string column.
     val docs = stage("docs")(docsPayload(transcripts, cfg))
 
-    val blocks = stage("blocks")(blocksPayload(docs, cfg))
+    // blocks: materialized ONLY under TableIO (resume + the incremental
+    // path's corpus-side snapshot). In-memory runs flow the key projection
+    // straight into the pair aggregation: the block table is the run's
+    // largest narrow intermediate (~33 key rows/doc at bench scale), its
+    // only in-memory consumer is pairsFromBlocks' first shuffle, and an
+    // eager checkpoint here costs a full serialize+deserialize round trip
+    // of that table for zero reuse (the lazy drop-audit branch recomputes
+    // from the docs cache either way; measured on the 6.72M-turn protocol
+    // input — see BASELINE.md round 5).
+    val blocks = io match {
+      case Some(_) => stage("blocks")(blocksPayload(docs, cfg))
+      case None => blocksPayload(docs, cfg)
+    }
 
     // shareAggregate only when the drop audit is materialized too (TableIO)
     val (pairsDf, droppedDf) =

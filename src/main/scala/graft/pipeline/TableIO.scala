@@ -25,6 +25,13 @@ trait TableIO {
   /** Append stage metrics rows: (table, stage, partition_id, rows, checksum). */
   def appendMetrics(df: DataFrame, table: String, stage: String): Unit
   def readMetrics(): Option[DataFrame]
+  /** Drop all but the newest `keepLast` snapshots of `table`; returns the
+    * expired snapshot ids. Default no-op for backends without snapshot
+    * history. Part of the trait because the maintenance loop
+    * ([[IncrementalPipeline.commitSnapshots]]) must be able to bound
+    * snapshot accretion through the same handle it commits through.
+    */
+  def expireSnapshots(table: String, keepLast: Int): Seq[Int] = Nil
 }
 
 /** Parquet snapshot layout:
@@ -88,24 +95,31 @@ final class ParquetTableIO(spark: SparkSession, root: String) extends TableIO {
     * layer does (the real-Iceberg swap-in is `expireSnapshots`).
     * Returns the ids of the snapshots deleted.
     */
-  def expireSnapshots(table: String, keepLast: Int): Seq[Int] = {
+  override def expireSnapshots(table: String, keepLast: Int): Seq[Int] = {
     val latest = latestSnapshot(table).getOrElse(return Nil)
     val cutoff = latest - math.max(1, keepLast) + 1
     val dirPath = Paths.get(dir(table))
     if (!Files.isDirectory(dirPath)) return Nil
-    val expired = Files.list(dirPath).toArray.toSeq.map(_.toString)
-      .flatMap { p =>
+    // Files.list / Files.walk hold an open directory handle until closed —
+    // leak-free via try/finally (ADVICE r4); stray non-numeric
+    // "snapshot=…" names are skipped, not a NumberFormatException.
+    val listing = Files.list(dirPath)
+    val expired =
+      try listing.toArray.toSeq.map(_.toString).flatMap { p =>
         val name = Paths.get(p).getFileName.toString
-        if (name.startsWith("snapshot=")) {
-          val id = name.stripPrefix("snapshot=").toInt
-          if (id < cutoff) Some(id) else None
-        } else None
+        if (name.startsWith("snapshot="))
+          scala.util.Try(name.stripPrefix("snapshot=").toInt).toOption
+            .filter(_ < cutoff)
+        else None
       }.sorted
+      finally listing.close()
     expired.foreach { id =>
       val snap = Paths.get(dir(table), s"snapshot=$id")
       // delete children depth-first, then the snapshot dir itself
-      Files.walk(snap).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(snap)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
+      finally walk.close()
     }
     expired
   }

@@ -49,23 +49,36 @@ object IncrementalLink {
   /** Per-block state: sorted member ids, collapsed when oversize. */
   case class BlockState(members: List[String], oversize: Boolean)
 
-  /** Stateless block-key derivation — the SAME kernels and hash-family
-    * seeds as the batch pipeline ([[Blocking.hybridBlocks]] defaults), so
-    * a streaming deployment blocks identically to its batch backfill.
+  /** Stateless block-key derivation — BATCH-IDENTICAL keys: the same
+    * kernels, the same pre-hashed-token (`tokh`) hash family, and the same
+    * [[graft.pipeline.Pipeline.Config]] defaults (exactK=3, lshShingleK=2,
+    * numHashes=96, bands=24, winnowW=8) as
+    * [[graft.pipeline.Pipeline.blocksPayload]]. A key computed here JOINS
+    * a batch `blocks` snapshot for the same document text (the batch
+    * snapshot's member ids are `hid = xxhash64(conv_id)`, not the id
+    * string — map ids accordingly when mixing). Round 4 derived keys by
+    * chain-hashing token STRINGS with different parameter defaults, which
+    * could never join a batch snapshot (silent zero recall if mixed —
+    * ADVICE r4); `IncrementalLinkSpec` now pins key-set equality against
+    * `blocksPayload`.
     * Input: streaming or batch DataFrame with (conv_id, ts) and either
     * `tokens: array<string>` or `text: string`.
     */
-  def blockKeys(docs: DataFrame, exactK: Int = 8, lshShingleK: Int = 5,
-                numHashes: Int = 64, bands: Int = 16,
-                winnowW: Int = 4): DataFrame = {
+  def blockKeys(docs: DataFrame, exactK: Int = 3, lshShingleK: Int = 2,
+                numHashes: Int = 96, bands: Int = 24,
+                winnowW: Int = 8): DataFrame = {
     val toks =
       if (docs.columns.contains("tokens")) col("tokens")
       else graft.functions.tokens(col("text"))
+    // positional 64-bit token hashes first — the batch docs payload's
+    // `tokh` column (Pipeline.docsPayload), so the kernels below run the
+    // identical hashLong chains the batch blocks snapshot was built from
+    val tokh = graft.functions.shingle_hashes(toks, 1, distinct = false)
     // array_union dedups (block_key, conv_id) repeats inline — the batch
     // path gets the same dedup from its bounded-collect aggregate
     val keys = array_union(
-      graft.functions.minhash_band_keys(toks, lshShingleK, numHashes, bands),
-      graft.functions.winnowed_shingle_hashes(toks, exactK, winnowW,
+      graft.functions.minhash_band_keys(tokh, lshShingleK, numHashes, bands),
+      graft.functions.winnowed_shingle_hashes(tokh, exactK, winnowW,
         Blocking.ExactShingleSeed))
     docs.where(size(toks) > 0)
       .select(col("conv_id"), col("ts").cast("timestamp").as("ts"),
@@ -104,24 +117,56 @@ object IncrementalLink {
           var s = state.getOption.getOrElse(BlockState(Nil, oversize = false))
           val out = List.newBuilder[PairHit]
           var maxTs = 0L
-          // deterministic intra-batch order; the buffer is one micro-batch
-          // of one block key, itself cap-bounded in effect (everything past
-          // the cap is skipped in O(1) after the collapse)
-          val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.conv_id))
-          batch.foreach { r =>
-            maxTs = math.max(maxTs, r.ts.getTime)
-            if (!s.oversize && !s.members.contains(r.conv_id)) {
-              if (s.members.sizeIs >= maxBlockSize) {
-                // collapse: hot-key state becomes O(1), like the batch
-                // path's cap+1-bounded collect (Blocking.pairsFromBlocks)
-                s = BlockState(Nil, oversize = true)
-              } else {
-                s.members.foreach { m =>
-                  val (a, b) =
-                    if (m < r.conv_id) (m, r.conv_id) else (r.conv_id, m)
-                  out += PairHit(a, b, key, r.ts)
+          // Deterministic intra-batch order (rows processed by (ts,
+          // conv_id)) WITHOUT buffering the micro-batch: sorting the whole
+          // group would hold a hot key's first large micro-batch on one
+          // task (ADVICE r4). Only the first `cap + 1 − |members|`
+          // distinct unseen ids — ordered by their earliest (ts, conv_id)
+          // record, which is where the sorted fold would add them — can
+          // change state or output (that many adds either fill the block
+          // or trip the collapse), so a bounded best-k selection over the
+          // streamed iterator is output-identical to the full sort and
+          // holds at most cap+1 records on any input size.
+          if (s.oversize) {
+            rows.foreach(r => maxTs = math.max(maxTs, r.ts.getTime))
+          } else {
+            val known = s.members.toSet
+            val slots = maxBlockSize + 1 - s.members.size
+            val sel = scala.collection.mutable.TreeSet.empty[(Long, String)]
+            val selTs = scala.collection.mutable.HashMap.empty[String, Long]
+            rows.foreach { r =>
+              val t = r.ts.getTime
+              maxTs = math.max(maxTs, t)
+              if (!known(r.conv_id)) selTs.get(r.conv_id) match {
+                case Some(prev) =>
+                  if (t < prev) { // keep each id's earliest record
+                    sel.remove((prev, r.conv_id))
+                    sel.add((t, r.conv_id)); selTs(r.conv_id) = t
+                  }
+                case None =>
+                  if (sel.size < slots) {
+                    sel.add((t, r.conv_id)); selTs(r.conv_id) = t
+                  } else if (Ordering[(Long, String)].lt((t, r.conv_id), sel.last)) {
+                    val evicted = sel.last
+                    sel.remove(evicted); selTs.remove(evicted._2)
+                    sel.add((t, r.conv_id)); selTs(r.conv_id) = t
+                  }
+              }
+            }
+            sel.foreach { case (t, id) =>
+              if (!s.oversize) {
+                if (s.members.sizeIs >= maxBlockSize) {
+                  // collapse: hot-key state becomes O(1), like the batch
+                  // path's cap+1-bounded collect (Blocking.pairsFromBlocks)
+                  s = BlockState(Nil, oversize = true)
+                } else {
+                  val ts = new java.sql.Timestamp(t)
+                  s.members.foreach { m =>
+                    val (a, b) = if (m < id) (m, id) else (id, m)
+                    out += PairHit(a, b, key, ts)
+                  }
+                  s = s.copy(members = id :: s.members)
                 }
-                s = s.copy(members = r.conv_id :: s.members)
               }
             }
           }
@@ -172,9 +217,13 @@ object IncrementalLink {
       if (docs.columns.contains("text"))
         substring(graft.functions.norm_text(col("text")), 1, prefixChars)
       else substring(concat_ws(" ", col("tokens")), 1, prefixChars)
+    // same tokh-derived key family as blockKeys/blocksPayload (see
+    // blockKeys scaladoc); tok_set is the scoring verify set — identical
+    // values to Scoring.scorePairs' dedup'd tokh
+    val tokh = graft.functions.shingle_hashes(toks, 1, distinct = false)
     val keys = array_union(
-      graft.functions.minhash_band_keys(toks, lshShingleK, numHashes, bands),
-      graft.functions.winnowed_shingle_hashes(toks, exactK, winnowW,
+      graft.functions.minhash_band_keys(tokh, lshShingleK, numHashes, bands),
+      graft.functions.winnowed_shingle_hashes(tokh, exactK, winnowW,
         Blocking.ExactShingleSeed))
     val base = docs.where(size(toks) > 0)
       .withColumn("tok_set", graft.functions.shingle_hashes(toks, 1))
@@ -193,8 +242,8 @@ object IncrementalLink {
     * Persist (or write bucketed by block_key) before serving: a streaming
     * query re-evaluates an unpersisted static plan every micro-batch.
     */
-  def corpusIndex(corpus: DataFrame, exactK: Int = 8, lshShingleK: Int = 5,
-                  numHashes: Int = 64, bands: Int = 16, winnowW: Int = 4,
+  def corpusIndex(corpus: DataFrame, exactK: Int = 3, lshShingleK: Int = 2,
+                  numHashes: Int = 96, bands: Int = 24, winnowW: Int = 8,
                   maxKeyFanout: Int = 64, prefixChars: Int = 256): DataFrame = {
     val feat = docFeatures(
       corpus.select(col("conv_id").as("corpus_id"),
@@ -214,23 +263,36 @@ object IncrementalLink {
     * (token-Jaccard + Jaro-Winkler + bounded-Levenshtein, identical
     * kernels and weights to [[graft.pipeline.Scoring.scorePairs]]).
     * Returns matches at `threshold` — append-mode, no retractions.
+    *
+    * Also runs in BATCH mode (a non-streaming `stream` input): the
+    * watermark node is eliminated by the analyzer and the candidate dedup
+    * degrades to a plain `dropDuplicates` — output-identical because
+    * duplicate candidate rows differ only in the dropped `block_key`
+    * column. That batch replay is how the driver's DuckDB oracle gates
+    * this operator (q53) and how a backfill would reuse the exact
+    * serving-path semantics.
     */
   def linkAgainstCorpus(stream: DataFrame, index: DataFrame,
                         w: graft.pipeline.Scoring.Weights =
                           graft.pipeline.Scoring.Weights(),
                         threshold: Double = 0.55, levMaxDist: Int = 128,
-                        watermark: String = "1 hour", exactK: Int = 8,
-                        lshShingleK: Int = 5, numHashes: Int = 64,
-                        bands: Int = 16, winnowW: Int = 4,
-                        prefixChars: Int = 256): DataFrame =
-    docFeatures(stream, exactK, lshShingleK, numHashes, bands, winnowW,
-      prefixChars)
+                        watermark: String = "1 hour", exactK: Int = 3,
+                        lshShingleK: Int = 2, numHashes: Int = 96,
+                        bands: Int = 24, winnowW: Int = 8,
+                        prefixChars: Int = 256): DataFrame = {
+    val candidates = docFeatures(stream, exactK, lshShingleK, numHashes,
+      bands, winnowW, prefixChars)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
       .join(index, "block_key")
-      // dedup BEFORE the kernels: candidates duplicated by shared keys
-      // must not pay the O(prefix²) string kernels more than once
-      .dropDuplicatesWithinWatermark("conv_id", "corpus_id")
+    // dedup BEFORE the kernels: candidates duplicated by shared keys
+    // must not pay the O(prefix²) string kernels more than once
+    // (watermark-bounded state when streaming; plain dedup in batch replay)
+    val deduped =
+      if (candidates.isStreaming)
+        candidates.dropDuplicatesWithinWatermark("conv_id", "corpus_id")
+      else candidates.dropDuplicates("conv_id", "corpus_id")
+    deduped
       .withColumn("jaccard",
         graft.functions.token_jaccard(col("tok_set"), col("corpus_tok_set")))
       .withColumn("jw",
@@ -243,4 +305,5 @@ object IncrementalLink {
       .where(col("score") >= threshold)
       .select(col("conv_id"), col("corpus_id"), col("ts"),
         col("jaccard"), col("jw"), col("lev_sim"), col("score"))
+  }
 }

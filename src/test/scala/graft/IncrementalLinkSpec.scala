@@ -25,14 +25,29 @@ class IncrementalLinkSpec extends SparkSpec {
       "solo2" -> "another disjoint snippet concerning orbital mechanics and fuel budgets")
   }
 
-  test("streamed pairs == batch pairsFromBlocks over the same corpus") {
+  test("streamed pairs == batch pipeline pairs; streaming keys JOIN the batch blocks snapshot") {
     val batchDocs = corpus.toDF("conv_id", "text")
       .withColumn("tokens", graft.functions.tokens(col("text")))
-    val blocks = Blocking.hybridBlocks(batchDocs, exactK = 8, lshShingleK = 5,
-      numHashes = 64, bands = 16, winnowW = 4)
-    val (expectedDf, _) = Blocking.pairsFromBlocks(blocks, maxBlockSize = 64)
+    // the batch pipeline's docs payload for the same texts (the shape a
+    // production `docs` snapshot has — Pipeline.docsPayload fields)
+    val docsPayload = batchDocs.select(col("conv_id"),
+      graft.functions.shingle_hashes(col("tokens"), 1, distinct = false).as("tokh"),
+      xxhash64(col("conv_id")).as("hid"))
+    val batchBlocks = graft.pipeline.Pipeline
+      .blocksPayload(docsPayload, graft.pipeline.Pipeline.Config())
+
+    // ADVICE r4: streaming keys must JOIN a batch blocks snapshot — exact
+    // (block_key, member) multiset equality, member ids mapped via hid
+    val streamKeys = IncrementalLink.blockKeys(
+        batchDocs.withColumn("ts", lit(ts(0))))
+      .select(xxhash64(col("conv_id")).as("conv_id"), col("block_key"))
+    assert(streamKeys.exceptAll(batchBlocks).isEmpty &&
+      batchBlocks.exceptAll(streamKeys).isEmpty,
+      "streaming block keys != batch blocksPayload keys")
+
+    val (expectedDf, _) = Blocking.pairsFromBlocks(batchBlocks, maxBlockSize = 64)
     val expected = expectedDf.select("conv_a", "conv_b")
-      .as[(String, String)].collect().toSet
+      .as[(Long, Long)].collect().toSet
     assert(expected.nonEmpty, "fixture must produce batch pairs")
 
     implicit val sqlCtx = spark.sqlContext
@@ -49,8 +64,12 @@ class IncrementalLinkSpec extends SparkSpec {
         in.addData(chunk.map { case (id, t) => (id, t, ts(i)) })
         q.processAllAvailable()
       }
-      val got = spark.table("ilp").select("conv_a", "conv_b")
-        .as[(String, String)].collect().toSet
+      // stream pairs are canonical in STRING order, the batch snapshot's
+      // in hid order — compare as canonical hid pairs
+      val got = spark.table("ilp")
+        .select(least(xxhash64(col("conv_a")), xxhash64(col("conv_b"))).as("a"),
+          greatest(xxhash64(col("conv_a")), xxhash64(col("conv_b"))).as("b"))
+        .as[(Long, Long)].collect().toSet
       assert(got == expected,
         s"stream/batch pair sets differ: only-stream=${got -- expected}, " +
           s"only-batch=${expected -- got}")

@@ -149,6 +149,39 @@ class IncrementalPipelineSpec extends SparkSpec {
     assertSameClusters(inc.clusters, Pipeline.run(remaining, cfg).clusters)
   }
 
+  test("maintenance loop via TableIO: chained commits + snapshot expiry + retract stay recompute-exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val io = new ParquetTableIO(spark, root)
+    val d1 = delta.where(dupIdx === 1)
+    val d2 = delta.where(dupIdx === 2)
+    // day 0: seed the store from the prior batch run
+    io.write(Pipeline.docsPayload(prior, cfg), "docs")
+    io.write(Pipeline.blocksPayload(io.read("docs"), cfg), "blocks")
+    val run0 = Pipeline.run(prior, cfg)
+    io.write(run0.clusters, "clusters")
+    io.write(run0.matchedEdges, "matched_edges")
+    // days 1 and 2: read → link → commit (history bounded at keepLast=2)
+    Seq(d1, d2).foreach { d =>
+      val inc = IncrementalPipeline.run(d, io.read("docs"), io.read("clusters"),
+        cfg, priorBlocks = Some(io.read("blocks")))
+      IncrementalPipeline.commitSnapshots(io, inc, keepLast = 2)
+    }
+    // resume read-back equals the full recompute over everything
+    assertSameClusters(io.read("clusters"), Pipeline.run(all, cfg).clusters)
+    // expiry genuinely bounded the history: ≤ keepLast snapshot dirs per table
+    for (t <- Seq("docs", "blocks", "matched_edges", "clusters")) {
+      val snaps = new java.io.File(s"$root/$t").listFiles()
+        .count(_.getName.startsWith("snapshot="))
+      assert(snaps <= 2, s"$t holds $snaps snapshots after expiry")
+    }
+    // the committed (appended) matched_edges history still serves retraction
+    val gone = prior.select("conv_id").distinct().where(baseIdx === 7)
+    val r = IncrementalPipeline.retract(gone, io.read("clusters"),
+      io.read("matched_edges"))
+    val remaining = all.join(gone, Seq("conv_id"), "left_anti")
+    assertSameClusters(r.clusters, Pipeline.run(remaining, cfg).clusters)
+  }
+
   test("retract: empty retract set is an identity; retracting everything empties the table") {
     val priorRun = Pipeline.run(prior, cfg)
     val none = IncrementalPipeline.retract(spark.emptyDataset[String]
