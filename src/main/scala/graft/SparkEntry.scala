@@ -621,9 +621,12 @@ object SparkEntry {
     }),
 
     // ---- retraction: delete conversations from a clustered corpus and
-    //      heal the affected clusters from the matched-edge snapshot —
-    //      deterministic self-generated input → constant golden oracle
-    //      (base 7's whole triple vanishes, base 11 shrinks to a pair) ----
+    //      heal the affected clusters from the matched-edge snapshot. The
+    //      full per-id assignment is emitted and the oracle replays the
+    //      retraction + clustering INDEPENDENTLY (recursive-CTE connected
+    //      components over the exported prior-edge snapshot minus edges
+    //      touching a retracted id — VERDICT r4 item 7: structural parity,
+    //      not a constant golden) ----
     "q51_retract" -> ((s, d) => {
       val tr = TranscriptGen.transcripts(s, nBase = 50, dupsPerBase = 2)
       val run0 = Pipeline.run(tr)
@@ -632,15 +635,15 @@ object SparkEntry {
           (substring(col("conv_id"), 2, 9).cast("long") === 11 &&
             split(col("conv_id"), "_").getItem(1).cast("int") === 2))
       IncrementalPipeline.retract(gone, run0.clusters, run0.matchedEdges)
-        .clusters
-        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .clusters.select("conv_id", "cluster_id")
     }),
 
     // ---- incremental delta ingest against prior snapshots: withhold one
     //      member of every 5th planted triple, link it back via
-    //      IncrementalPipeline — the combined clusters must equal the full
-    //      recompute's 50 triples (deterministic input → constant golden) ----
+    //      IncrementalPipeline. The full per-id assignment is emitted and
+    //      the oracle recomputes the clustering from scratch over the FULL
+    //      run's exported matched-edge snapshot (incremental ≡ recompute,
+    //      verified by an independent engine) ----
     "q52_incremental" -> ((s, d) => {
       val tr = TranscriptGen.transcripts(s, nBase = 50, dupsPerBase = 2)
       val isDelta = substring(col("conv_id"), 2, 9).cast("long") % 5 === 0 &&
@@ -649,9 +652,31 @@ object SparkEntry {
       val run0 = Pipeline.run(prior)
       val inc = IncrementalPipeline.run(tr.where(isDelta),
         Pipeline.docsPayload(prior, Pipeline.Config()), run0.clusters)
-      inc.clusters
-        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      inc.clusters.select("conv_id", "cluster_id")
+    }),
+
+    // ---- stream-static corpus linkage, batch replay (the q-gate for
+    //      IncrementalLink.linkAgainstCorpus — identical plan minus the
+    //      watermark node, which the analyzer eliminates in batch): every
+    //      17th document is "today's ingest", the rest are the corpus
+    //      snapshot; fanout-capped block-key index, per-pair dedup, then
+    //      the batch scoring mixture. Oracle replays join + dedup + all
+    //      three kernels + mixture over the exported aux features ----
+    "q53_stream_static_link" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(17)) =!= 0)
+        .select(col("doc_id").cast("string").as("conv_id"), col("text"))
+      val stream = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").cast("string").as("conv_id"),
+          to_timestamp(lit("2026-01-01 00:00:00")).as("ts"), col("text"))
+      val index = graft.streaming.IncrementalLink.corpusIndex(corpus)
+      graft.streaming.IncrementalLink
+        .linkAgainstCorpus(stream, index, threshold = 0.3)
+        .select(col("conv_id"), col("corpus_id"),
+          round(col("jaccard"), 4).as("jaccard"),
+          round(col("jw"), 4).as("jw"),
+          round(col("lev_sim"), 4).as("lev_sim"),
+          round(col("score"), 4).as("score"))
     })
   )
 
@@ -1606,17 +1631,78 @@ object SparkEntry {
                  round(coalesce(s.context_sim, 0), 4) AS context_sim
           FROM cands c LEFT JOIN scored s USING (qid, entity)""",
 
-    // q51: fully deterministic self-generated input (see q28) — a correct
-    // retraction removes base 7's 3-clique entirely and shrinks base 11's
-    // to a pair, leaving 48 intact triples: a constant golden
+    // q51: STRUCTURAL parity (VERDICT r4 item 7) — graft.Verify exports
+    // the prior run's matched-edge snapshot, the id universe, and the
+    // retract set; DuckDB replays the retraction (drop edges touching a
+    // retracted id) AND the clustering from scratch (recursive-CTE
+    // transitive closure, min-member labels — the same convention as
+    // ConnectedComponents). The Spark side must reproduce that assignment
+    // id for id.
     "q51_retract" ->
-      """SELECT * FROM (VALUES (2::BIGINT, 1::BIGINT), (3::BIGINT, 48::BIGINT))
-         AS t(cluster_size, n_clusters)""",
+      """WITH RECURSIVE
+            uni AS (SELECT conv_id FROM '/tmp/graft-aux/q51_universe/*.parquet'),
+            gone AS (SELECT conv_id FROM '/tmp/graft-aux/q51_retract/*.parquet'),
+            surv AS (SELECT conv_id FROM uni
+                     WHERE conv_id NOT IN (SELECT conv_id FROM gone)),
+            e0 AS (SELECT conv_a, conv_b
+                   FROM '/tmp/graft-aux/q51_edges/*.parquet'
+                   WHERE conv_a NOT IN (SELECT conv_id FROM gone)
+                     AND conv_b NOT IN (SELECT conv_id FROM gone)),
+            ed AS (SELECT conv_a AS a, conv_b AS b FROM e0
+                   UNION SELECT conv_b, conv_a FROM e0),
+            reach(id, r) AS (
+              SELECT conv_id, conv_id FROM surv
+              UNION
+              SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b)
+          SELECT id AS conv_id, min(r) AS cluster_id FROM reach GROUP BY id""",
 
-    // q52: deterministic self-generated input (see q28) — a correct
-    // incremental ingest re-attaches each withheld third member to its
-    // prior pair cluster, restoring all 50 planted triples
+    // q52: STRUCTURAL parity — DuckDB clusters the FULL run's exported
+    // matched-edge snapshot from scratch; the incremental path's output
+    // must equal that recompute (the spec asserts it against Spark's own
+    // full run; this oracle asserts it against an independent engine).
     "q52_incremental" ->
-      "SELECT 3::BIGINT AS cluster_size, 50::BIGINT AS n_clusters"
+      """WITH RECURSIVE
+            uni AS (SELECT conv_id FROM '/tmp/graft-aux/q52_universe/*.parquet'),
+            e0 AS (SELECT conv_a, conv_b
+                   FROM '/tmp/graft-aux/q52_edges/*.parquet'),
+            ed AS (SELECT conv_a AS a, conv_b AS b FROM e0
+                   UNION SELECT conv_b, conv_a FROM e0),
+            reach(id, r) AS (
+              SELECT conv_id, conv_id FROM uni
+              UNION
+              SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b)
+          SELECT id AS conv_id, min(r) AS cluster_id FROM reach GROUP BY id""",
+
+    // q53: the stream-static linkage replayed over the exported aux
+    // features (stream-side tok_set/prefix/block_key rows + the
+    // fanout-capped corpus index): DuckDB re-derives the candidate join,
+    // the per-pair dedup, all three similarity kernels and the mixture.
+    // The Levenshtein cap (banded kernel, maxDist=128 → sim 0) and the
+    // left-to-right mixture arithmetic mirror Scoring/levenshtein_sim
+    // exactly.
+    "q53_stream_static_link" ->
+      """WITH sf AS (SELECT conv_id, tok_set, prefix, block_key
+                     FROM '/tmp/graft-aux/q53_stream/*.parquet'),
+            ix AS (SELECT block_key, corpus_id, corpus_tok_set, corpus_prefix
+                   FROM '/tmp/graft-aux/q53_index/*.parquet'),
+            cand AS (SELECT DISTINCT s.conv_id, i.corpus_id
+                     FROM sf s JOIN ix i USING (block_key)),
+            fs AS (SELECT DISTINCT conv_id, tok_set, prefix FROM sf),
+            fc AS (SELECT DISTINCT corpus_id, corpus_tok_set, corpus_prefix FROM ix),
+            scored AS (SELECT c.conv_id, c.corpus_id,
+                CASE WHEN len(list_distinct(fs.tok_set || fc.corpus_tok_set)) = 0 THEN 0
+                     ELSE len(list_intersect(fs.tok_set, fc.corpus_tok_set))::DOUBLE
+                          / len(list_distinct(fs.tok_set || fc.corpus_tok_set))::DOUBLE END AS jaccard,
+                jaro_winkler_similarity(fs.prefix, fc.corpus_prefix) AS jw,
+                CASE WHEN greatest(len(fs.prefix), len(fc.corpus_prefix)) = 0 THEN 1.0
+                     WHEN levenshtein(fs.prefix, fc.corpus_prefix) > 128 THEN 0.0
+                     ELSE 1.0 - levenshtein(fs.prefix, fc.corpus_prefix)::DOUBLE
+                          / greatest(len(fs.prefix), len(fc.corpus_prefix))::DOUBLE END AS lev_sim
+              FROM cand c JOIN fs USING (conv_id) JOIN fc USING (corpus_id))
+          SELECT conv_id, corpus_id, round(jaccard, 4) AS jaccard,
+                 round(jw, 4) AS jw, round(lev_sim, 4) AS lev_sim,
+                 round(0.6 * jaccard + 0.25 * jw + 0.15 * lev_sim, 4) AS score
+          FROM scored
+          WHERE 0.6 * jaccard + 0.25 * jw + 0.15 * lev_sim >= 0.3"""
   )
 }

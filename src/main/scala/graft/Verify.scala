@@ -45,6 +45,50 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] aux export failed: ${e.getMessage}")
     }
+    // q51/q52 structural-parity aux (VERDICT r4 item 7): the edge
+    // snapshots and id universes DuckDB re-clusters from scratch. Same
+    // deterministic generator calls as the queries themselves.
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.pipeline.{IncrementalPipeline, Pipeline, TranscriptGen}
+      val tr = TranscriptGen.transcripts(spark, nBase = 50, dupsPerBase = 2)
+      val run0 = Pipeline.run(tr)
+      val gone = tr.select("conv_id").distinct().where(
+        substring(col("conv_id"), 2, 9).cast("long") === 7 ||
+          (substring(col("conv_id"), 2, 9).cast("long") === 11 &&
+            split(col("conv_id"), "_").getItem(1).cast("int") === 2))
+      run0.matchedEdges.select("conv_a", "conv_b").coalesce(1)
+        .write.mode("overwrite").parquet(s"$AuxDir/q51_edges")
+      tr.select("conv_id").distinct().coalesce(1)
+        .write.mode("overwrite").parquet(s"$AuxDir/q51_universe")
+      gone.coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/q51_retract")
+      // q52: the FULL combined run's matched edges — the recompute target
+      // the incremental path must match
+      run0.matchedEdges.select("conv_a", "conv_b").coalesce(1)
+        .write.mode("overwrite").parquet(s"$AuxDir/q52_edges")
+      tr.select("conv_id").distinct().coalesce(1)
+        .write.mode("overwrite").parquet(s"$AuxDir/q52_universe")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] q51/q52 aux export failed: ${e.getMessage}")
+    }
+    // q53 aux: stream-side features + fanout-capped corpus index — the
+    // oracle replays candidate join, dedup, kernels and mixture over them
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.IncrementalLink
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val corpus = docs.where(pmod(col("doc_id"), lit(17)) =!= 0)
+        .select(col("doc_id").cast("string").as("conv_id"), col("text"))
+      val stream = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").cast("string").as("conv_id"), col("text"))
+      IncrementalLink.corpusIndex(corpus).coalesce(1)
+        .write.mode("overwrite").parquet(s"$AuxDir/q53_index")
+      IncrementalLink.docFeatures(stream, exactK = 3, lshShingleK = 2,
+          numHashes = 96, bands = 24, winnowW = 8, prefixChars = 256)
+        .coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/q53_stream")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] q53 aux export failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -207,9 +207,12 @@ object IncrementalLink {
     * [[graft.pipeline.Scoring.scorePairs]] (distinct 64-bit token hashes +
     * a bounded normalized prefix) plus one row per hybrid block key.
     */
-  private def docFeatures(docs: DataFrame, exactK: Int, lshShingleK: Int,
-                          numHashes: Int, bands: Int, winnowW: Int,
-                          prefixChars: Int): DataFrame = {
+  /** package-visible so [[graft.Verify]] can export the exact stream-side
+    * feature rows (tok_set, prefix, block_key) the q53 oracle replays
+    */
+  private[graft] def docFeatures(docs: DataFrame, exactK: Int, lshShingleK: Int,
+                                 numHashes: Int, bands: Int, winnowW: Int,
+                                 prefixChars: Int): DataFrame = {
     val toks =
       if (docs.columns.contains("tokens")) col("tokens")
       else graft.functions.tokens(col("text"))
