@@ -56,7 +56,18 @@ object BenchCc {
 
     def timeRun(tag: String, repart: Boolean): Double = {
       val t0 = System.nanoTime()
-      val out = ConnectedComponents.run(edges, ck(repart))
+      // per-round wall time: onRound fires right after the fingerprint
+      // aggregate that materializes the round, so successive deltas are
+      // exactly the large-star+small-star+checkpoint cost of each round
+      // (VERDICT r4 item 6 asks for per-round time + rounds-to-converge
+      // at ≥20M edges, where only the distributed path engages)
+      var lastRound = System.nanoTime()
+      val onRound = (i: Int, cnt: Long, _: Long) => {
+        val now = System.nanoTime()
+        println(f"CC_ROUND $tag%-10s iter=$i edges=$cnt sec=${(now - lastRound) / 1e9}%.2f")
+        lastRound = now
+      }
+      val out = ConnectedComponents.run(edges, ck(repart), onRound = onRound)
       out.write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
