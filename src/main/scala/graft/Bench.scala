@@ -87,7 +87,11 @@ object Bench {
     // ≥4 task waves at the 4N config; at the old 3.36M default, 4 MB / 64.
     // Identical at both levels (fairness).
     val minutesScale = nBase >= 400000L
-    val partBytes = (if (minutesScale) 16 else 4) * 1024 * 1024
+    // 8 MB at minutes scale (round 5; was 16): finer waves shorten the
+    // 4N config's straggler tail — interleaved screen measured 34.7 vs
+    // 39.2 s at [8,2] alone, 30.1 s combined with the sort-based partial
+    // agg below, neutral at [2,2]
+    val partBytes = (if (minutesScale) 8 else 4) * 1024 * 1024
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
         if (minutesScale) "256" else "64")
@@ -128,7 +132,13 @@ object Bench {
             partBytes.toString)
           .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
           .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+          // stock 128-entry sort fallback = sort-based map-side partial
+          // agg: block keys are ~unique, so the hash map combines nothing
+          // and its random-memory traffic dominated the pairs stage at 16
+          // cores (round-5 screen: pairs 17-19 → 12.8 s, end-to-end 39.2
+          // → 35.3 s at [8,2]; neutral at [2,2]). Per-key state stays
+          // bounded at cap+1 either way (BoundedCollectSet saturates).
+          .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
           // delay scheduling idles cores waiting for localCheckpoint-block
           // locality in second-scale stages; interleaved A/B at 6.72M turns
           // measured wait=0 faster at BOTH cluster sizes ([2,2] 121.0 vs
@@ -158,8 +168,12 @@ object Bench {
       // phases and corrupt the ratio in either direction; alternating
       // blocks give both configs' minima the same phase exposure at the
       // same total cost as one warmup + 5 reps per config.
+      // 3 reps (round 5; was 2): interference on this host bursts in
+      // whole reps — with 2 blocks × 3 reps per config, each config's
+      // min gets six draws at a clean window instead of four, for ~5 min
+      // extra wall time on a run whose ratio is the round's gate number
       val repsPerBlock =
-        sys.env.getOrElse("SPARK_GRAFT_CLUSTER_REPS_PER_BLOCK", "2").toInt
+        sys.env.getOrElse("SPARK_GRAFT_CLUSTER_REPS_PER_BLOCK", "3").toInt
       var turnsLo = 0L
       // One lost executor (ambient interference has killed executor JVMs
       // mid-rep on this host) must not zero out the whole sweep: retry a
@@ -285,7 +299,9 @@ object Bench {
           .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
             (16 * 1024 * 1024).toString)
           .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
-          .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+          // same minutes-scale finding as clusterScaling: ~unique block
+          // keys make sort-based map-side partial agg the right default
+          .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
           .config("spark.locality.wait", "0")
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.ui.enabled", "false")

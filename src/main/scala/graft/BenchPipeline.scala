@@ -49,8 +49,11 @@ object BenchPipeline {
                               input: DataFrame): (Long, Double, Map[String, Double]) = {
     val key = input.queryExecution.analyzed.semanticHash().toString
     val turns = turnCounts.computeIfAbsent(key, _ => input.count())
+    // plan-shape A/B switch (see Pipeline.Config.prePartitionPairs)
+    val cfg = Pipeline.Config(
+      prePartitionPairs = sys.env.get("GRAFT_PAIRS_PREPART").contains("1"))
     val t0 = System.nanoTime()
-    Pipeline.run(input).clusters.write.mode("overwrite").format("noop").save()
+    Pipeline.run(input, cfg).clusters.write.mode("overwrite").format("noop").save()
     val sec = (System.nanoTime() - t0) / 1e9
     val stages = {
       import scala.jdk.CollectionConverters._
@@ -83,22 +86,39 @@ object BenchPipeline {
       // count, so every cached-stage consumer ran ≤18 map tasks (1.1
       // waves at 16 cores, half the cluster idle) — and AQE's default
       // 64 MB advisory target coalesced the 256-partition reduces to
-      // ~15-18 fat tasks. 16 MB on both knobs keeps second-scale stages
-      // at 60-256 tasks (≥4 waves at 16 cores) — the wave count a
+      // ~15-18 fat tasks. 8 MB on both knobs keeps second-scale stages
+      // well above 4 task waves at 16 cores — the wave count a
       // production minutes-scale stage gets from the SAME defaults.
-      // Identical at every parallelism level (fairness).
-      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      // (Round-5 screen, interleaved at [8,2]: 8 MB beat the round-3/4
+      // 16 MB at the hi config — 34.7 vs 39.2 s alone, 30.1 vs 35.3 s
+      // combined with the sort-based partial agg below — and was neutral
+      // at [2,2]; finer waves shorten the straggler tail exactly where
+      // 16 cores share one memory bus.) Identical at every parallelism
+      // level (fairness).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_PART_BYTES", (8 * 1024 * 1024).toString))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        (16 * 1024 * 1024).toString)
+        sys.env.getOrElse("SPARK_GRAFT_PART_BYTES", (8 * 1024 * 1024).toString))
       // the CC singleton-attach join broadcasts the assignment (10-50 MB
       // at bench scale); the 10 MB default silently degrades it to a
       // sort-merge shuffle of every doc
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp"))
-      // collect_set states are tiny (block members capped at maxBlockSize),
-      // so keep the blocking aggregation hash-based instead of the default
-      // 128-entry sort fallback
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      // Pair-generation aggregates over ~UNIQUE block keys (round-5 event
+      // logs: 47.5M exploded key rows → 47.1M partial-agg output rows,
+      // <1% map-side combining), so ObjectHashAggregate's map-side hash
+      // map is ~1.3M entries of pure random-memory traffic per task that
+      // combines nothing. The stock 128-entry sort fallback makes the
+      // partial agg sort-based (sequential memory access) while KEEPING
+      // the per-key state bound (BoundedCollectSet saturates at cap+1
+      // either way). Interleaved round-5 screen at [8,2]: pairs stage
+      // 17-19 s → 12.8 s, end-to-end 39.2 → 35.3 s (30.1 s with the 8 MB
+      // partition knob above); neutral at [2,2] where 2 cores never
+      // saturate the bus. Round 3's raised threshold (keep hash-based)
+      // was measured on second-scale inputs where the map fit in L2 —
+      // at minutes scale the trade flips.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "128"))
       // measured at both cluster sizes (see Bench.clusterScaling): delay
       // scheduling only idles cores here, wait=0 wins at [2,2] AND [8,2]
       .config("spark.locality.wait",

@@ -125,7 +125,8 @@ object Blocking {
     * joins.
     */
   def pairsFromBlocks(blocks: DataFrame, maxBlockSize: Int,
-                      shareAggregate: Boolean = false): (DataFrame, DataFrame) = {
+                      shareAggregate: Boolean = false,
+                      prePartition: Boolean = false): (DataFrame, DataFrame) = {
     val longIds = blocks.schema("conv_id").dataType ==
       org.apache.spark.sql.types.LongType
     if (longIds) {
@@ -142,7 +143,27 @@ object Blocking {
       // collect_set silently skips it — the filter makes both branches
       // agree (pipeline hids from xxhash64 are never null, so this
       // predicate is a free codegen'd guard, not a data pass).
-      val agged0 = blocks.where(col("conv_id").isNotNull).groupBy("block_key")
+      val input = blocks.where(col("conv_id").isNotNull)
+      // `prePartition`: hash-partition the raw (block_key, conv_id) rows
+      // FIRST, so the bounded collect runs entirely post-shuffle and the
+      // exchange ships raw 16-byte rows with NO map-side partial
+      // aggregation. Why offer this: block keys are ~unique (round-5
+      // event logs: 47.5M exploded keys → 47.1M partial-agg output rows,
+      // <1% combined), so Spark's map-side ObjectHashAggregate builds a
+      // ~1.3M-entry hash map per map task that combines nothing — pure
+      // random-memory traffic, the dominant term of the pairs stage's
+      // 3× task-time inflation at 16 cores vs 4. Trade: a hot key's raw
+      // rows all cross the shuffle (map-side combine previously capped
+      // each map task's contribution at cap+1), so keep the DEFAULT path
+      // when hot-key byte amplification matters more than map-side
+      // memory traffic; aggregation STATE stays ≤ cap+1 either way
+      // (saturating reduce).
+      val grouped =
+        if (prePartition) {
+          val n = blocks.sparkSession.sessionState.conf.numShufflePartitions
+          input.repartition(n, col("block_key")).groupBy("block_key")
+        } else input.groupBy("block_key")
+      val agged0 = grouped
         .agg(graft.functions.BoundedCollectSet
           .bounded(maxBlockSize + 1, col("conv_id").cast("long")).as("members"))
       // lazy + serialized: the pairs job both materializes and consumes it

@@ -42,7 +42,13 @@ object Pipeline {
       weights: Scoring.Weights = Scoring.Weights(),
       scoreThreshold: Double = 0.55,
       prefixChars: Int = 256,
-      levMaxDist: Int = 128)
+      levMaxDist: Int = 128,
+      // pair-generation plan shape (see Blocking.pairsFromBlocks
+      // `prePartition`): raw-shuffle-then-aggregate vs map-side partial
+      // aggregation. Output is identical; the trade is map-side memory
+      // traffic (~unique keys make the partial agg's hash map pure
+      // overhead) vs hot-key shuffle-byte bounding.
+      prePartitionPairs: Boolean = false)
 
   /** `matchedEdges` (conv_a, conv_b, score) is the run's matched-pair
     * set — the audit trail of why clusters merged, and the snapshot
@@ -198,7 +204,8 @@ object Pipeline {
 
     // shareAggregate only when the drop audit is materialized too (TableIO)
     val (pairsDf, droppedDf) =
-      Blocking.pairsFromBlocks(blocks, cfg.maxBlockSize, shareAggregate = io.isDefined)
+      Blocking.pairsFromBlocks(blocks, cfg.maxBlockSize, shareAggregate = io.isDefined,
+        prePartition = cfg.prePartitionPairs)
     val pairs = stage("pairs")(pairsDf)
     // dropped-blocks audit: a real snapshot table under TableIO (the
     // documented no-silent-caps artifact); in-memory runs keep it lazy —

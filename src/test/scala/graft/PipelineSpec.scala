@@ -78,6 +78,17 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
       .map { case (a, b, n) => (math.min(a, b), math.max(a, b), n) }.toSet
     assert(gen == fus)
+    // the prePartition plan shape (raw-shuffle-then-aggregate, no map-side
+    // partial agg) must be a pure physical rewrite: identical pairs AND
+    // identical drop audit
+    val (pPre, dPre) =
+      Blocking.pairsFromBlocks(longBlocks, maxBlockSize = 10, prePartition = true)
+    val pre = pPre.select(col("conv_a"), col("conv_b"), col("n_blocks"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (math.min(a, b), math.max(a, b), n) }.toSet
+    assert(pre == fus)
+    assert(dPre.select("block_key").as[Long].collect().toSet ==
+      dFus.select("block_key").as[Long].collect().toSet)
     // same dropped keys; fused sizes are the documented cap+1 lower bound
     assert(dGen.select("block_key").as[Long].collect().toSet ==
       dFus.select("block_key").as[Long].collect().toSet)
