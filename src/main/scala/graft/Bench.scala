@@ -290,14 +290,22 @@ object Bench {
     val incremental: String =
       if (incBase <= 0) """{"skipped":true}"""
       else try {
+        // same tmpfs local.dir as the cluster block: the single virtual
+        // disk otherwise bottlenecks both paths' shuffles (and the
+        // staged snapshots BenchIncremental reads live there too)
+        val shmInc = new java.io.File("/dev/shm")
+        val incLocalDir =
+          if (shmInc.isDirectory && shmInc.canWrite) "/dev/shm/graft-bench-tmp"
+          else sys.props.getOrElse("java.io.tmpdir", "/tmp")
         val s = SparkSession.builder()
           .master(s"local[$cpus]")
           .appName("graft-bench-incremental")
           .config("spark.sql.shuffle.partitions",
             sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"))
-          .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+          .config("spark.local.dir", incLocalDir)
+          .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
           .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            (16 * 1024 * 1024).toString)
+            (8 * 1024 * 1024).toString)
           .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
           // same minutes-scale finding as clusterScaling: ~unique block
           // keys make sort-based map-side partial agg the right default
