@@ -162,10 +162,26 @@ object Ltr {
         with org.apache.spark.ml.param.shared.HasFeaturesCol): DataFrame = {
     val folded = assignFolds(instances, k, seed, qidCol)
       .localCheckpoint(true) // k models re-read it; folds must not recompute
-    val parts = (0 until k).map { f =>
-      val model = train(folded.where(col("fold") =!= f))
-      applyRf(model, folded.where(col("fold") === f), featureCols)
-    }
+    // The k fits are independent (disjoint test folds, fixed seed), so
+    // submit them from concurrent driver threads — SparkContext job
+    // submission is thread-safe, and tree induction leaves scheduling
+    // gaps between its many small jobs that a second fold's jobs fill.
+    // Results are identical to the serial loop (each model sees the same
+    // train split + seed regardless of order; unionByName keeps fold
+    // order). Pool capped below k: each extra concurrent fit adds driver
+    // memory for its tree aggregates, and 2-3 in flight already close
+    // most of the scheduling gaps.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(k, 3))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val parts =
+      try Await.result(
+        Future.sequence((0 until k).map { f => Future {
+          val model = train(folded.where(col("fold") =!= f))
+          applyRf(model, folded.where(col("fold") === f), featureCols)
+        }}), Duration.Inf)
+      finally pool.shutdown()
     parts.reduce(_ unionByName _).drop("fold", "session")
   }
 
