@@ -175,12 +175,29 @@ object Bench {
       val repsPerBlock =
         sys.env.getOrElse("SPARK_GRAFT_CLUSTER_REPS_PER_BLOCK", "3").toInt
       var turnsLo = 0L
+      // Ambient 1-min load at each block start, recorded into the JSON:
+      // external interference phases on this host inflate whole sweeps
+      // (round-5 sweep #7: all 12 reps uniformly +50-60% vs the quiet
+      // band on the same jar), so the artifact should carry its own
+      // validity indicator — a bad ratio next to high recorded loads
+      // reads as ambient pollution, not a code regression. Reading the
+      // numbers: each sample includes the decaying load of the bench's
+      // OWN previous block (bounded by its core count — 4 after a lo
+      // block, 16 after a hi block); only the excess above that
+      // self-load baseline indicates external interference.
+      val blockLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def loadAvg(): Double =
+        try {
+          val src = scala.io.Source.fromFile("/proc/loadavg")
+          try src.getLines().next().split(" ")(0).toDouble finally src.close()
+        } catch { case _: Throwable => -1.0 }
       // One lost executor (ambient interference has killed executor JVMs
       // mid-rep on this host) must not zero out the whole sweep: retry a
       // failed block once with a fresh local-cluster, and tolerate a block
       // that fails twice as long as BOTH configs still land ≥1 rep — the
       // interleave then degrades gracefully instead of reporting nothing.
       Seq(exLo, exHi, exLo, exHi).foreach { ex =>
+        blockLoads += loadAvg()
         val t =
           try block(ex, repsPerBlock)
           catch {
@@ -212,6 +229,7 @@ object Bench {
         f""""turns_per_sec_lo":$thrLo%.1f,"turns_per_sec_hi":$thrHi%.1f,""" +
         f""""scaling_efficiency":$eff%.3f,"interleaved":true,""" +
         s""""reps_lo":${repsJson(exLo)},"reps_hi":${repsJson(exHi)},""" +
+        s""""block_loads":${blockLoads.map(l => f"$l%.2f").mkString("[", ",", "]")},""" +
         s""""stages_lo":${stagesJson(stLo)},"stages_hi":${stagesJson(stHi)}}"""
     } catch {
       case e: Throwable =>
