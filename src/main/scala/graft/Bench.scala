@@ -110,6 +110,18 @@ object Bench {
       // 3), so the rep spread is what lets a reader judge whether the
       // min landed in a clean window
       val repLog = scala.collection.mutable.Map.empty[Int, Vector[(Double, Map[String, Double])]]
+      // 1-min loadavg sampled at each rep start (rep_loads_lo/_hi in the
+      // JSON): interference bursts last whole reps, so annotating each
+      // rep with the load it started under lets a reader tell a burst
+      // rep from a regression without the sweep log. Self-load baseline
+      // during the previous rep: ~4 at the lo config, ~16 at hi — excess
+      // above that is external.
+      val repLoads = scala.collection.mutable.Map.empty[Int, Vector[Double]]
+      def loadAvg(): Double =
+        try {
+          val src = scala.io.Source.fromFile("/proc/loadavg")
+          try src.getLines().next().split(" ")(0).toDouble finally src.close()
+        } catch { case _: Throwable => -1.0 }
       def block(executors: Int, reps: Int): Long = {
         val s = SparkSession.builder()
           .master(s"local-cluster[$executors,$coresPer,8192]")
@@ -154,9 +166,14 @@ object Bench {
           // converged time on the first pass) — burn it untimed so every
           // measured rep sees a settled environment
           val (turns, _, _) = BenchPipeline.timedRun(s, input)
-          val measured = (1 to reps).map(_ => BenchPipeline.timedRun(s, input))
+          val measured = (1 to reps).map { _ =>
+            val l = loadAvg()
+            (l, BenchPipeline.timedRun(s, input))
+          }
           repLog(executors) = repLog.getOrElse(executors, Vector.empty) ++
-            measured.map(r => (r._2, r._3))
+            measured.map { case (_, r) => (r._2, r._3) }
+          repLoads(executors) = repLoads.getOrElse(executors, Vector.empty) ++
+            measured.map(_._1)
           turns
         } finally s.stop()
       }
@@ -186,11 +203,6 @@ object Bench {
       // block, 16 after a hi block); only the excess above that
       // self-load baseline indicates external interference.
       val blockLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
-      def loadAvg(): Double =
-        try {
-          val src = scala.io.Source.fromFile("/proc/loadavg")
-          try src.getLines().next().split(" ")(0).toDouble finally src.close()
-        } catch { case _: Throwable => -1.0 }
       // One lost executor (ambient interference has killed executor JVMs
       // mid-rep on this host) must not zero out the whole sweep: retry a
       // failed block once with a fresh local-cluster, and tolerate a block
@@ -224,12 +236,15 @@ object Bench {
       val eff = (thrHi / thrLo) / (exHi.toDouble / exLo)
       def repsJson(ex: Int): String =
         repLog.getOrElse(ex, Vector.empty).map(t => f"${t._1}%.2f").mkString("[", ",", "]")
+      def loadsJson(ex: Int): String =
+        repLoads.getOrElse(ex, Vector.empty).map(l => f"$l%.2f").mkString("[", ",", "]")
       f"""{"turns":$turnsLo,"executors_lo":$exLo,"executors_hi":$exHi,""" +
         f""""cores_per_executor":$coresPer,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,""" +
         f""""turns_per_sec_lo":$thrLo%.1f,"turns_per_sec_hi":$thrHi%.1f,""" +
         f""""scaling_efficiency":$eff%.3f,"interleaved":true,""" +
         s""""reps_lo":${repsJson(exLo)},"reps_hi":${repsJson(exHi)},""" +
         s""""block_loads":${blockLoads.map(l => f"$l%.2f").mkString("[", ",", "]")},""" +
+        s""""rep_loads_lo":${loadsJson(exLo)},"rep_loads_hi":${loadsJson(exHi)},""" +
         s""""stages_lo":${stagesJson(stLo)},"stages_hi":${stagesJson(stHi)}}"""
     } catch {
       case e: Throwable =>
