@@ -677,6 +677,23 @@ object SparkEntry {
           round(col("jw"), 4).as("jw"),
           round(col("lev_sim"), 4).as("lev_sim"),
           round(col("score"), 4).as("score"))
+    }),
+
+    // ---- blocking-quality metrics (pairs completeness / reduction
+    // ratio over the q11/q12 shingle blocking, gt = exact-dup pairs) ----
+    "q54_blocking_metrics" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(word_shingles(toks(col("text")), 3))).as("block_key"))
+      val kept = sh.groupBy("block_key").agg(count(lit(1)).as("c"))
+        .where(col("c").between(2, 64)).select("block_key")
+      val blocks = sh.join(kept, Seq("block_key"))
+      val norm = docs.select(col("doc_id"), norm_text(col("text")).as("norm"))
+      val gt = norm.as("x").join(norm.as("y"),
+          col("x.norm") === col("y.norm") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      graft.operators.BlockingMetrics.summarize(
+        blocks, gt, docs.count(), idCol = "doc_id")
     })
   )
 
@@ -1703,6 +1720,36 @@ object SparkEntry {
                  round(jw, 4) AS jw, round(lev_sim, 4) AS lev_sim,
                  round(0.6 * jaccard + 0.25 * jw + 0.15 * lev_sim, 4) AS score
           FROM scored
-          WHERE 0.6 * jaccard + 0.25 * jw + 0.15 * lev_sim >= 0.3"""
+          WHERE 0.6 * jaccard + 0.25 * jw + 0.15 * lev_sim >= 0.3""",
+
+    "q54_blocking_metrics" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(${SHINGLES(3)})) AS block_key
+                      FROM (SELECT doc_id, $TOKS AS t FROM documents)),
+            keep AS (SELECT block_key FROM sh GROUP BY block_key
+                     HAVING count(*) BETWEEN 2 AND 64),
+            b AS (SELECT sh.doc_id, sh.block_key FROM sh JOIN keep USING (block_key)),
+            per AS (SELECT block_key, count(*) AS c FROM b GROUP BY block_key),
+            ba AS (SELECT count(*) AS n_blocks, sum(c)::BIGINT AS n_entries,
+                          sum(c * (c - 1) / 2)::BIGINT AS cand_pairs_sum FROM per),
+            cp AS (SELECT count(*) AS cand_pairs_distinct FROM
+                     (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                      FROM b x JOIN b y USING (block_key) WHERE x.doc_id < y.doc_id)),
+            nrm AS (SELECT doc_id, $NORM AS norm FROM documents),
+            gt AS (SELECT x.doc_id AS a, y.doc_id AS b FROM nrm x JOIN nrm y
+                   ON x.norm = y.norm AND x.doc_id < y.doc_id),
+            ga AS (SELECT count(*) AS gt_pairs FROM gt),
+            cov AS (SELECT count(*) AS gt_covered FROM
+                      (SELECT DISTINCT g.a, g.b FROM gt g
+                       JOIN b bx ON bx.doc_id = g.a
+                       JOIN b bz ON bz.doc_id = g.b AND bz.block_key = bx.block_key)),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+          SELECT n.n_docs, ba.n_blocks, ba.n_entries, ba.cand_pairs_sum,
+                 cp.cand_pairs_distinct, ga.gt_pairs, cov.gt_covered,
+                 round(cov.gt_covered::DOUBLE / greatest(ga.gt_pairs, 1)::DOUBLE, 6)
+                   AS pair_completeness,
+                 round(1.0 - cp.cand_pairs_distinct::DOUBLE
+                   / greatest(n.n_docs * (n.n_docs - 1) / 2, 1)::DOUBLE, 6)
+                   AS reduction_ratio
+          FROM ba, cp, ga, cov, n"""
   )
 }
