@@ -694,6 +694,21 @@ object SparkEntry {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       graft.operators.BlockingMetrics.summarize(
         blocks, gt, docs.count(), idCol = "doc_id")
+    }),
+
+    // ---- clustering-diff metrics (pairwise P/R/F1 + split/merge/stable
+    // census between two deterministic clusterings of documents) ----
+    "q55_cluster_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def assign(key: Column): DataFrame = {
+        val k = docs.select(col("doc_id"), key.as("k"))
+        k.join(k.groupBy("k").agg(min("doc_id").as("cluster_id")), Seq("k"))
+          .select("doc_id", "cluster_id")
+      }
+      graft.operators.ClusterDiff.summarize(
+        assign(norm_text(col("text"))),
+        assign(graft.operators.TextAnalysis.fingerprint(col("text"))),
+        idCol = "doc_id")
     })
   )
 
@@ -1750,6 +1765,55 @@ object SparkEntry {
                  round(1.0 - cp.cand_pairs_distinct::DOUBLE
                    / greatest(n.n_docs * (n.n_docs - 1) / 2, 1)::DOUBLE, 6)
                    AS reduction_ratio
-          FROM ba, cp, ga, cov, n"""
+          FROM ba, cp, ga, cov, n""",
+
+    "q55_cluster_diff" ->
+      s"""WITH nrm AS (SELECT doc_id, $NORM AS k FROM documents),
+            olda AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS ocid FROM nrm),
+            fpt AS (SELECT doc_id,
+                      list_reduce(list_prepend(0::BIGINT,
+                        [ascii(x)::BIGINT * 31 + len(x) for x in $TOKS]),
+                        (acc, v) -> (acc * 131 + v) % 1000000007) AS k
+                    FROM documents),
+            newa AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS ncid FROM fpt),
+            j AS (SELECT o.doc_id, o.ocid, w.ncid FROM olda o JOIN newa w USING (doc_id)),
+            cells AS (SELECT ocid, ncid, count(*) AS nv FROM j GROUP BY 1, 2),
+            os AS (SELECT ocid, sum(nv)::BIGINT AS so, count(*) AS fanout
+                   FROM cells GROUP BY 1),
+            ns AS (SELECT ncid, sum(nv)::BIGINT AS sn, count(*) AS fanin
+                   FROM cells GROUP BY 1),
+            stab AS (SELECT count(*) AS n_stable FROM cells
+                     JOIN os USING (ocid) JOIN ns USING (ncid)
+                     WHERE nv = so AND nv = sn),
+            oa AS (SELECT count(*) AS n_clusters_old,
+                          sum(so * (so - 1) / 2)::BIGINT AS pairs_old,
+                          sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END)::BIGINT AS n_split
+                   FROM os),
+            na AS (SELECT count(*) AS n_clusters_new,
+                          sum(sn * (sn - 1) / 2)::BIGINT AS pairs_new,
+                          sum(CASE WHEN fanin > 1 THEN 1 ELSE 0 END)::BIGINT AS n_merged
+                   FROM ns),
+            ba AS (SELECT sum(nv)::BIGINT AS n_ids,
+                          sum(nv * (nv - 1) / 2)::BIGINT AS pairs_both FROM cells),
+            oo AS (SELECT count(*)::BIGINT AS ids_only_old FROM olda o
+                   WHERE NOT EXISTS (SELECT 1 FROM newa w WHERE w.doc_id = o.doc_id)),
+            nn AS (SELECT count(*)::BIGINT AS ids_only_new FROM newa w
+                   WHERE NOT EXISTS (SELECT 1 FROM olda o WHERE o.doc_id = w.doc_id))
+          SELECT ba.n_ids, oo.ids_only_old, nn.ids_only_new,
+                 oa.n_clusters_old, na.n_clusters_new, stab.n_stable,
+                 oa.n_split, na.n_merged,
+                 oa.pairs_old, na.pairs_new, ba.pairs_both,
+                 round(ba.pairs_both::DOUBLE / greatest(na.pairs_new, 1)::DOUBLE, 6)
+                   AS pairwise_precision,
+                 round(ba.pairs_both::DOUBLE / greatest(oa.pairs_old, 1)::DOUBLE, 6)
+                   AS pairwise_recall,
+                 round(CASE WHEN ba.pairs_both::DOUBLE / greatest(na.pairs_new, 1)::DOUBLE
+                              + ba.pairs_both::DOUBLE / greatest(oa.pairs_old, 1)::DOUBLE > 0
+                       THEN 2.0 * (ba.pairs_both::DOUBLE / greatest(na.pairs_new, 1)::DOUBLE)
+                            * (ba.pairs_both::DOUBLE / greatest(oa.pairs_old, 1)::DOUBLE)
+                            / (ba.pairs_both::DOUBLE / greatest(na.pairs_new, 1)::DOUBLE
+                               + ba.pairs_both::DOUBLE / greatest(oa.pairs_old, 1)::DOUBLE)
+                       ELSE 0.0 END, 6) AS pairwise_f1
+          FROM ba, oa, na, stab, oo, nn"""
   )
 }
