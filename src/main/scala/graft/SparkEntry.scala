@@ -21,6 +21,19 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Eagerly materialize a query-fn fixture that several plan branches
+    * consume. Spark has no cross-branch common-subexpression elimination:
+    * a fixture referenced k times re-runs its whole scan + tokenize +
+    * aggregate subtree k times (the round-5 q44 plan scanned
+    * documents.parquet 16x, q55 64x). One serialized localCheckpoint
+    * makes every consumer read the materialized rows instead; results are
+    * identical — this only collapses duplicate evaluation (optimization
+    * guide §2.4/§7.2, duplicated subtrees).
+    */
+  private def shared(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** The shared normalized-token expression, kept textually in sync with
     * the `NORM`/`TOKS` macros of the oracle SQL below.
     */
@@ -142,9 +155,10 @@ object SparkEntry {
       val (allPairs, _) = Blocking.pairsFromBlocks(blocks, 64)
       val pairs = allPairs.where(col("n_blocks") >= 2)
         .select(col("conv_a").as("a"), col("conv_b").as("b"))
-      val feat = docs.select(col("doc_id"),
+      // both join sides read feat: materialize the tokenize pass once
+      val feat = shared(docs.select(col("doc_id"),
         array_distinct(toks(col("text"))).as("ts"),
-        substring(norm_text(col("text")), 1, 64).as("pref"))
+        substring(norm_text(col("text")), 1, 64).as("pref")))
       pairs
         .join(feat.select(col("doc_id").as("a"), col("ts").as("ts_a"), col("pref").as("pref_a")), "a")
         .join(feat.select(col("doc_id").as("b"), col("ts").as("ts_b"), col("pref").as("pref_b")), "b")
@@ -357,10 +371,12 @@ object SparkEntry {
       val titles = docs
         .select(col("lang").as("entity"), explode(array_distinct(toks(col("text")))).as("tok"))
         .groupBy("entity").agg(min("tok").as("title"))
-      val mentions = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+      // mentionFeatures consumes `mentions` in four branches (base,
+      // matches, ntem, smil): materialize the ngram explode + dedup once
+      val mentions = shared(docs.where(pmod(col("doc_id"), lit(17)) === 0)
         .select(col("doc_id").as("qid"), col("text").as("qtext"),
           explode(ngrams_up_to(toks(col("text")), 2)).as("mention"))
-        .dropDuplicates("qid", "mention")
+        .dropDuplicates("qid", "mention"))
       Features.mentionFeatures(mentions, dict, titles)
         .select(col("qid"), col("mention"), col("mention_len").cast("long").as("mention_len"),
           col("matches"), col("ntem"), col("smil"), round(col("len_ratio"), 4).as("len_ratio"))
@@ -386,16 +402,20 @@ object SparkEntry {
     //      token co-occurrence "index" (facc_indexer.py analog) ----
     "q37_facc_features" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val facc = Features.faccIndex(
-        docs.select(col("doc_id"), explode(toks(col("text"))).as("entity")))
+      // facc feeds the pair self-join (twice), the frequency dim and the
+      // and_freq join: one materialization instead of five tokenize passes
+      val facc = shared(Features.faccIndex(
+        docs.select(col("doc_id"), explode(toks(col("text"))).as("entity"))))
       val numDocs = docs.count()
       // candidate pairs from actual co-occurrence (facc self-join on
       // doc_id) — what a real caller feeds the operator. The round-2
       // vocab×vocab crossJoin fixture was quadratic in vocabulary size.
-      val pairs = facc.select(col("entity").as("e1"), col("doc_id"))
+      // faccPairFeatures consumes `pairs` twice (and_freq + the final
+      // attach chain): materialize the self-join + distinct once
+      val pairs = shared(facc.select(col("entity").as("e1"), col("doc_id"))
         .join(facc.select(col("entity").as("e2"), col("doc_id")), "doc_id")
         .where(col("e1") < col("e2"))
-        .select("e1", "e2").distinct()
+        .select("e1", "e2").distinct())
       Features.faccPairFeatures(pairs, facc, numDocs)
         .select(col("e1"), col("e2"), col("and_freq"), col("or_freq"),
           round(col("joint_prob"), 4).as("joint_prob"),
@@ -476,8 +496,10 @@ object SparkEntry {
     //      (facc_feat.py:44-113; AND/OR doc counts, n = 3 here) ----
     "q44_facc_set_features" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val facc = Features.faccIndex(
-        docs.select(col("doc_id"), explode(toks(col("text"))).as("entity")))
+      // faccSetFeatures consumes facc in three branches (ef, perDoc, the
+      // or/and counts): one materialization of the tokenize + distinct
+      val facc = shared(Features.faccIndex(
+        docs.select(col("doc_id"), explode(toks(col("text"))).as("entity"))))
       val numDocs = docs.count()
       // deterministic 3-entity sets: the 3 lexicographically-smallest
       // distinct tokens of every 17th document
@@ -533,7 +555,9 @@ object SparkEntry {
         array_join(slice(tok, 1, 8), " ").as("query"),
         array_join(slice(tok, 1, 2), " ").as("mention"),
         element_at(tok, 1).as("freebase_id"))
-      graft.ml.Ltr.yerdCvInstances(gt, 0.1, 8)
+      // yerdCvInstances reads gt in six branches (queries, annotated ×3,
+      // positives): one materialization of the tokenize + slice projection
+      graft.ml.Ltr.yerdCvInstances(shared(gt), 0.1, 8)
         .select(col("qid"), col("mention"), col("entity"), col("label"),
           round(col("cmn"), 4).as("cmn"), col("len"),
           round(col("len_ratio"), 4).as("len_ratio"),
@@ -583,7 +607,9 @@ object SparkEntry {
     //      candidates partitioned by entity % 3 ----
     "q49_query_set_sim" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val docTf = LanguageModel.docTermFreqs(lmFielded(docs))
+      // mlmTermProbs derives doc_len / coll_tf / coll_stats from docTf —
+      // four consumers of the fielded explode + groupBy; materialize once
+      val docTf = shared(LanguageModel.docTermFreqs(lmFielded(docs)))
       val q = docs.where(pmod(col("doc_id"), lit(17)) === 0)
         .select(col("doc_id").as("qid"), slice(toks(col("text")), 1, 5).as("qtoks"),
           col("lang"), col("source"))
@@ -591,10 +617,11 @@ object SparkEntry {
         .select(col("qid"), size(col("qtoks")).as("qlen"), explode(col("qtoks")).as("term"))
         .groupBy("qid", "qlen", "term").agg(count(lit(1)).as("qtf"))
         .select("qid", "term", "qtf", "qlen")
-      val members = q.select(col("qid"), col("lang"), col("source"))
+      // querySetSim reads members twice (distinct pairs + the set join)
+      val members = shared(q.select(col("qid"), col("lang"), col("source"))
         .join(docs.select(col("doc_id").as("entity"), col("lang"), col("source")),
           Seq("lang", "source"))
-        .select(col("qid"), pmod(col("entity"), lit(3)).as("iset_id"), col("entity"))
+        .select(col("qid"), pmod(col("entity"), lit(3)).as("iset_id"), col("entity")))
       IsfSets.querySetSim(members, qterms, docTf, MlmWeights)
         .select(col("qid"), col("iset_id"), round(col("set_sim"), 4).as("set_sim"))
     }),
@@ -604,17 +631,19 @@ object SparkEntry {
     //      entity's contents-field LM (query_sim_feat.py:150-176) ----
     "q50_context_sim" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val docTf = LanguageModel.docTermFreqs(lmFielded(docs))
+      // four consumers inside mlmTermProbs (see q49)
+      val docTf = shared(LanguageModel.docTermFreqs(lmFielded(docs)))
       val q = docs.where(pmod(col("doc_id"), lit(17)) === 0)
         .select(col("doc_id").as("qid"),
           array_join(slice(toks(col("text")), 1, 5), " ").as("qtext"),
           element_at(toks(col("text")), 2).as("mention"),
           col("lang"), col("source"))
         .where(col("mention").isNotNull)
-      val cands = q
+      // contextSim derives base/terms/tp from cands in several branches
+      val cands = shared(q
         .join(docs.select(col("doc_id").as("entity"), col("lang"), col("source")),
           Seq("lang", "source"))
-        .select(col("qid"), col("qtext"), col("mention"), col("entity"))
+        .select(col("qid"), col("qtext"), col("mention"), col("entity")))
       IsfSets.contextSim(cands, docTf, "contents")
         .select(col("qid"), col("entity"), col("mention"),
           round(col("context_sim"), 4).as("context_sim"))
@@ -650,8 +679,11 @@ object SparkEntry {
         split(col("conv_id"), "_").getItem(1).cast("int") === 2
       val prior = tr.where(!isDelta)
       val run0 = Pipeline.run(prior)
+      // the prior docs payload is read twice inside IncrementalPipeline
+      // (block probe + scoring attach): materialize the generator +
+      // assembly + tokenize chain once
       val inc = IncrementalPipeline.run(tr.where(isDelta),
-        Pipeline.docsPayload(prior, Pipeline.Config()), run0.clusters)
+        shared(Pipeline.docsPayload(prior, Pipeline.Config())), run0.clusters)
       inc.clusters.select("conv_id", "cluster_id")
     }),
 
@@ -683,27 +715,45 @@ object SparkEntry {
     // ratio over the q11/q12 shingle blocking, gt = exact-dup pairs) ----
     "q54_blocking_metrics" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val sh = docs.select(col("doc_id"),
-        explode(array_distinct(word_shingles(toks(col("text")), 3))).as("block_key"))
+      // sh feeds the kept-key agg AND the membership join; blocks then
+      // feeds five branches inside summarize (per-block agg, both sides
+      // of the pair self-join, both gt cover joins) — materialize each
+      val sh = shared(docs.select(col("doc_id"),
+        explode(array_distinct(word_shingles(toks(col("text")), 3))).as("block_key")))
       val kept = sh.groupBy("block_key").agg(count(lit(1)).as("c"))
         .where(col("c").between(2, 64)).select("block_key")
-      val blocks = sh.join(kept, Seq("block_key"))
-      val norm = docs.select(col("doc_id"), norm_text(col("text")).as("norm"))
-      val gt = norm.as("x").join(norm.as("y"),
+      val blocks = shared(sh.join(kept, Seq("block_key")))
+      val norm = shared(docs.select(col("doc_id"), norm_text(col("text")).as("norm")))
+      // summarize reads gt twice (count + covered): materialize the
+      // norm-equality self-join once
+      val gt = shared(norm.as("x").join(norm.as("y"),
           col("x.norm") === col("y.norm") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")))
+      // distinct candidate pairs via the capped bounded-collect pair
+      // kernel instead of summarize's default within-block self-join —
+      // the identical pair set (blocks is pre-filtered to sizes 2..64, so
+      // pairsFromBlocks at cap 64 drops nothing), produced the way the
+      // operator's scaladoc prescribes at scale; the round-6 fragment
+      // probe measured the self-join + distinct at 2.5 s vs 1.4 s for
+      // the bounded-collect path on the same blocks
+      val candPairs = Blocking.pairsFromBlocks(
+        blocks.select(col("doc_id").as("conv_id"), col("block_key")), 64)._1
+        .select(col("conv_a").as("a"), col("conv_b").as("b"))
       graft.operators.BlockingMetrics.summarize(
-        blocks, gt, docs.count(), idCol = "doc_id")
+        blocks, gt, docs.count(), idCol = "doc_id", candPairs = Some(candPairs))
     }),
 
     // ---- clustering-diff metrics (pairwise P/R/F1 + split/merge/stable
     // census between two deterministic clusterings of documents) ----
     "q55_cluster_diff" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // each assignment feeds ~6 branches inside ClusterDiff.summarize
+      // (the round-5 plan scanned documents.parquet 64 times): materialize
+      // both assignments once
       def assign(key: Column): DataFrame = {
         val k = docs.select(col("doc_id"), key.as("k"))
-        k.join(k.groupBy("k").agg(min("doc_id").as("cluster_id")), Seq("k"))
-          .select("doc_id", "cluster_id")
+        shared(k.join(k.groupBy("k").agg(min("doc_id").as("cluster_id")), Seq("k"))
+          .select("doc_id", "cluster_id"))
       }
       graft.operators.ClusterDiff.summarize(
         assign(norm_text(col("text"))),
@@ -727,7 +777,9 @@ object SparkEntry {
   private val MlmWeights = Map("contents" -> 0.8, "names" -> 0.2)
 
   private def lmTermProbs(docs: DataFrame): DataFrame = {
-    val docTf = LanguageModel.docTermFreqs(lmFielded(docs))
+    // mlmTermProbs derives doc_len / coll_tf / coll_stats from docTf —
+    // four consumers of the fielded explode + groupBy; materialize once
+    val docTf = shared(LanguageModel.docTermFreqs(lmFielded(docs)))
     val q = docs.where(pmod(col("doc_id"), lit(17)) === 0)
       .select(col("doc_id").as("qid"), slice(toks(col("text")), 1, 5).as("qtoks"),
         col("lang"), col("source"))

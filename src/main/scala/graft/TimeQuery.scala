@@ -9,11 +9,17 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // same session shape as Bench.session so timings are comparable with
+    // the frozen bench's query phase
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        (4 * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("GRAFT_OBJ_AGG_FALLBACK", "128"))
+        sys.env.getOrElse("GRAFT_OBJ_AGG_FALLBACK", "4194304"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

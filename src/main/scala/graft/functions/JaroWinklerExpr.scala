@@ -73,3 +73,54 @@ case class LevenshteinBandedExpr(left: Expression, right: Expression,
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Set-Jaccard of two arrays (array<long> or array<string>, both sides the
+  * same element type) — codegen'd call into
+  * [[SimilarityKernels.jaccardLongSets]] / [[SimilarityKernels.jaccardStringSets]].
+  * Bit-identical to the composed built-in form
+  * `size(array_intersect(a,b)) / size(array_distinct(concat(a,b)))`
+  * (0.0 on empty union, null on null input): the kernel computes the same
+  * integer intersection/union counts and performs the same double
+  * division — it only skips the per-row hash-map + output-array
+  * materialization of the generic collection expressions.
+  */
+case class JaccardSetExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_jaccard requires matching array<long> or array<string> inputs, got $other")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_jaccard"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (isLong) SimilarityKernels.jaccardLongSets(a, b)
+    else SimilarityKernels.jaccardStringSets(a, b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLong) "jaccardLongSets" else "jaccardStringSets"
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SimilarityKernels.$fn($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -216,6 +216,101 @@ object SimilarityKernels {
     if (prev(n) > k) -1 else prev(n)
   }
 
+  /** Set-Jaccard over two long arrays with the exact semantics of
+    * `size(array_intersect(a,b)) / size(array_distinct(concat(a,b)))`:
+    * |set(a) ∩ set(b)| / |set(a) ∪ set(b)|, 0.0 when the union is empty.
+    * Null elements are treated as one distinct value shared by both sides
+    * (array_intersect/array_distinct's null semantics).
+    *
+    * Why it exists: the built-in collection expressions allocate a fresh
+    * hash map + output array per row; at ~10⁶ verify pairs per query this
+    * kernel (one probe-only open-address long table, no boxing, no output
+    * materialization) removed the dominant term of the near-dup verify
+    * stage (round-6 fragment probe: token_jaccard added 4.1 s on 1.13M
+    * pairs at 32 cores; see OPTIMIZATION_r06.md).
+    */
+  def jaccardLongSets(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    // open-address table sized for both sides; payload = the long value,
+    // state tracked via a parallel byte array: 0 empty, 1 = in a only,
+    // 2 = counted in intersection (or "in b" during the b pass)
+    var cap = 8
+    while (cap < (na + nb) * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val state = new Array[Byte](cap)
+    val mask = cap - 1
+    var aHasNull = false; var bHasNull = false
+    var da = 0 // |set(a)|
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) aHasNull = true
+      else {
+        val v = a.getLong(i)
+        var idx = (java.lang.Long.hashCode(v * -7046029254386353131L) & mask)
+        while (state(idx) != 0 && table(idx) != v) idx = (idx + 1) & mask
+        if (state(idx) == 0) { state(idx) = 1; table(idx) = v; da += 1 }
+      }
+      i += 1
+    }
+    var db = 0 // |set(b)|
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) { if (!bHasNull) { bHasNull = true } }
+      else {
+        val v = b.getLong(i)
+        var idx = (java.lang.Long.hashCode(v * -7046029254386353131L) & mask)
+        while (state(idx) != 0 && table(idx) != v) idx = (idx + 1) & mask
+        state(idx) match {
+          case 0 => state(idx) = 3; table(idx) = v; db += 1 // b-only
+          case 1 => state(idx) = 2; db += 1; inter += 1     // shared
+          case _ => // already counted for b
+        }
+      }
+      i += 1
+    }
+    if (aHasNull) da += 1
+    if (bHasNull) db += 1
+    if (aHasNull && bHasNull) inter += 1
+    val union = da + db - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** String-array variant of [[jaccardLongSets]] — same set semantics over
+    * UTF8String elements.
+    */
+  def jaccardStringSets(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                        b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val setA = new java.util.HashSet[UTF8String](na * 2)
+    var aHasNull = false; var bHasNull = false
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) aHasNull = true else setA.add(a.getUTF8String(i))
+      i += 1
+    }
+    val setB = new java.util.HashSet[UTF8String](nb * 2)
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) bHasNull = true
+      else {
+        val v = b.getUTF8String(i)
+        if (setB.add(v) && setA.contains(v)) inter += 1
+      }
+      i += 1
+    }
+    var da = setA.size(); var db = setB.size()
+    if (aHasNull) da += 1
+    if (bHasNull) db += 1
+    if (aHasNull && bHasNull) inter += 1
+    val union = da + db - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** 64-bit SimHash over token hashes: bit b of the result is 1 iff the
     * sum over tokens of (+1 / -1 for bit b of the token's hash) is > 0.
     * Token hash = xxHash64-compatible via Spark's hash of the UTF8 bytes is

@@ -104,10 +104,21 @@ package object functions {
     transform(sequence(lit(0), lit(bands - 1)), b =>
       xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
 
-  /** Token-set Jaccard similarity of two string arrays (distinct-element
-    * semantics). 0.0 when the union is empty.
+  /** Token-set Jaccard similarity of two arrays (array<string> or
+    * array<long>; distinct-element semantics). 0.0 when the union is
+    * empty. Native codegen'd kernel — the composed
+    * intersect/distinct/concat form ([[token_jaccard_hof]]) allocates a
+    * hash map and an output array per row and dominated the near-dup
+    * verify stage at ~10⁶ pairs/query (round 6).
     */
-  def token_jaccard(a: Column, b: Column): Column = {
+  def token_jaccard(a: Column, b: Column): Column =
+    Internals.column(
+      JaccardSetExpr(Internals.expression(a), Internals.expression(b)))
+
+  /** Built-in-composed Jaccard (interpreted-parity reference: unit tests
+    * cross-check the native kernel against this shape).
+    */
+  def token_jaccard_hof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(array_distinct(concat(a, b))).cast("double")
     when(uni === 0d, 0d).otherwise(inter / uni)

@@ -225,10 +225,14 @@ object Ltr {
         norm_text(uri_to_name(col("entity"))).as("title"))
       .groupBy("entity").agg(min("title").as("title"))
 
+    // four consumers below (ntem, smil, the final join chain's base and
+    // its len/len_ratio exprs): materialize the ngram explode + dedup
+    // once instead of re-shuffling it per branch
     val mentions = queries
       .select(col("qid"), col("qtext"),
         explode(ngrams_up_to(split(col("qtext"), " "), maxNgram)).as("mention"))
       .dropDuplicates("qid", "mention")
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val perMention = dict.groupBy(col("surface").as("mention"))
       .agg(count(lit(1)).as("matches"))
     val ntem = mentions.select(col("qid"), col("mention"))

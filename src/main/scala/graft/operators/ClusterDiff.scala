@@ -45,7 +45,11 @@ object ClusterDiff {
     val n = newAssign.select(col(idCol).as("id"), col(clusterCol).as("ncid"))
 
     val joined = o.join(n, Seq("id"))
+    // four aggregate branches read the overlap cells (old/new sizes,
+    // stable census, pair totals): materialize the join + groupBy once —
+    // cells are at most one row per id, so this is always small
     val cells = joined.groupBy("ocid", "ncid").agg(count(lit(1)).as("nv"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     val oldSizes = cells.groupBy("ocid").agg(
       sum("nv").as("so"), count(lit(1)).as("fanout"))

@@ -58,6 +58,13 @@ object Dedup {
     val sh = base.select(col("conv_id"),
       shingle_hashes(col("tokens"), shingleK).as("sh"))
     val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    // The width-restoring repartition stays AFTER the attach joins: moved
+    // before them it repartitions by the pair-dedup aggregate's own keys,
+    // so the optimizer removes it as redundant and AQE then coalesces the
+    // CPU-bound kernel to ~1 task (measured round 6; PlanAuditSpec pins
+    // the >1-partition invariant). The fat-row exchange this keeps is
+    // acceptable since the verify kernel itself is now the native
+    // JaccardSetExpr (~30x cheaper per pair).
     pairs.select("conv_a", "conv_b")
       .join(sh.select(col("conv_id").as("conv_a"), col("sh").as("sh_a")), "conv_a")
       .join(sh.select(col("conv_id").as("conv_b"), col("sh").as("sh_b")), "conv_b")
@@ -73,7 +80,11 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, minJaccard: Double, cap: Int): DataFrame = {
+    // blocking and the verify stage both read the tokenized base; one
+    // eager materialization replaces two scan+tokenize passes (and keeps
+    // the two consumers from racing a lazy cache into duplicate work)
     val base = docs.select(col(idCol).as("conv_id"), tokens(col(textCol)).as("tokens"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val blocks = Blocking.exactShingleBlocks(base, shingleK)
     val (pairs, _) = Blocking.pairsFromBlocks(blocks, cap)
     jaccardVerify(pairs, base, shingleK, minJaccard)
@@ -86,7 +97,10 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleK: Int, numHashes: Int, bands: Int,
                       minJaccard: Double, cap: Int): DataFrame = {
+    // same two-consumer shape as ngramJaccardPairs: materialize the
+    // tokenized base once for the banding and the verify passes
     val base = docs.select(col(idCol).as("conv_id"), tokens(col(textCol)).as("tokens"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val blocks = Blocking.minhashLshBlocks(base, shingleK, numHashes, bands)
     val (pairs, _) = Blocking.pairsFromBlocks(blocks, cap)
     jaccardVerify(pairs, base, shingleK, minJaccard)
@@ -129,7 +143,10 @@ object Dedup {
 
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, cap: Int): DataFrame = {
+    // the signature table feeds blocking AND both verify join sides —
+    // materialize the tokenize + simhash pass once (narrow: id + 8 bytes)
     val sh = simhashSignatures(docs, idCol, textCol)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val blocks = simhashBlocks(sh, maxHamming)
     val (pairs, _) = Blocking.pairsFromBlocks(blocks, cap)
     pairs

@@ -245,6 +245,8 @@ object IsfSets {
     */
   def contextSim(cands: DataFrame, docTf: DataFrame,
                  field: String = "contents"): DataFrame = {
+    // base feeds the context-term explode AND the final attach join:
+    // materialize the distinct + context slicing once
     val base = cands.select("qid", "qtext", "mention", "entity").distinct()
       .withColumn("_pos", call_function("instr", col("qtext"), col("mention")))
       .withColumn("context", when(col("_pos") > 0, trim(concat(
@@ -252,6 +254,7 @@ object IsfSets {
         call_function("substring", col("qtext"),
           col("_pos") + length(col("mention")), length(col("qtext")))))))
       .withColumn("ckey", concat_ws("#", col("qid"), col("entity"), col("mention")))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val terms = base
       .select(col("ckey"), explode(split(col("context"), " ")).as("term"))
       .where(col("term") =!= "")

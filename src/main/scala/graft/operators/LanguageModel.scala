@@ -30,13 +30,21 @@ object LanguageModel {
 
   /** Long-format fielded token occurrences: docs × field definitions →
     * (doc, field, term), one row per token occurrence.
+    *
+    * One scan: the field token arrays are packed into an array of
+    * (field, toks) structs and exploded twice, instead of one
+    * scan + tokenize pass per field union branch (row multiset is
+    * identical — downstream is always an aggregation).
     */
   def fieldedTokens(docs: DataFrame, docIdCol: String,
-                    fields: Seq[(String, Column)]): DataFrame =
-    fields.map { case (name, toksCol) =>
-      docs.select(col(docIdCol).as("doc"), lit(name).as("field"),
-        explode(toksCol).as("term"))
-    }.reduce(_ unionByName _)
+                    fields: Seq[(String, Column)]): DataFrame = {
+    val packed = array(fields.map { case (name, toksCol) =>
+      struct(lit(name).as("field"), toksCol.as("toks"))
+    }: _*)
+    docs.select(col(docIdCol).as("doc"), explode(packed).as("f"))
+      .select(col("doc"), col("f.field").as("field"),
+        explode(col("f.toks")).as("term"))
+  }
 
   /** doc_tf(doc, field, term, tf) — lucene_tools.get_doc_termfreqs analog. */
   def docTermFreqs(fielded: DataFrame): DataFrame =

@@ -110,11 +110,24 @@ object IncrementalPipeline {
     // prune the corpus side to keys the delta emits before counting:
     // a key with no new member can produce no delta pair, and at corpus
     // scale this semi-join is the difference between aggregating the
-    // whole blocks table and aggregating the delta's neighborhood
+    // whole blocks table and aggregating the delta's neighborhood.
+    // BROADCAST the delta key set (guide §3.1): without the hint the
+    // planner has no size estimate for the checkpointed delta and
+    // sort-merge-joins — i.e. SHUFFLES — the entire corpus blocks
+    // snapshot, which is why the round-5 driver artifact measured
+    // inc_sec ≈ full_sec (28.93 vs 29.11 s at a 4.8% delta). With the
+    // broadcast the snapshot is scanned once, shuffled never. The hint
+    // is guarded by the delta's materialized row count so a
+    // pathologically large "delta" degrades to the shuffle plan instead
+    // of an executor-OOM-sized broadcast.
+    val maxBroadcastRows = 4000000L
+    val nNewBlockRows = newBlocks.count() // cheap: newBlocks is checkpointed
     val newKeys = newBlocks.select("block_key").distinct()
+    val probeKeys =
+      if (nNewBlockRows <= maxBroadcastRows) broadcast(newKeys) else newKeys
     val oldRelevant = timed("inc_probe")(
       priorBlocks.getOrElse(Pipeline.blocksPayload(priorDocs, cfg))
-        .join(newKeys, Seq("block_key"), "left_semi")
+        .join(probeKeys, Seq("block_key"), "left_semi")
         .localCheckpoint(true, ser))
 
     // combined-size cap, same rule as the batch path (blocks kernels emit
@@ -140,8 +153,12 @@ object IncrementalPipeline {
     // (every kept key's combined size ≤ cap, so its delta-only subset is
     // under the cap too — pairsFromBlocks will drop nothing here)
     val (nnPairs, _) = Blocking.pairsFromBlocks(keptNew, cfg.maxBlockSize)
-    // new-old pairs: one equi-join on block_key, fanout ≤ cap²/4 per key
-    val noPairs = keptNew.select(col("block_key"), col("conv_id").as("h_new"))
+    // new-old pairs: one equi-join on block_key, fanout ≤ cap²/4 per key.
+    // The delta side is the small one — broadcast it (same guard as the
+    // probe) so the corpus-side kept rows are streamed, not shuffled.
+    val keptNewSel = keptNew.select(col("block_key"), col("conv_id").as("h_new"))
+    val noPairs = (if (nNewBlockRows <= maxBroadcastRows) broadcast(keptNewSel)
+                   else keptNewSel)
       .join(keptOld.select(col("block_key"), col("conv_id").as("h_old")),
         "block_key")
       // same-hid guard: a delta doc colliding with a corpus doc on hid
@@ -161,12 +178,17 @@ object IncrementalPipeline {
     // scoring features: prune the corpus docs to ids the pairs actually
     // reference BEFORE the feature-attach joins — the pair set is
     // delta-neighborhood-sized, so this turns two full-corpus shuffles
-    // into a scan + (usually broadcast) semi-join
+    // into a scan + broadcast semi-join. The broadcast hint matters for
+    // the same reason as the probe's: the checkpointed pair set carries
+    // no size estimate, and a sort-merge semi here re-shuffles the whole
+    // corpus docs snapshot.
+    val nPairs = pairs.count() // cheap: pairs is checkpointed
     val pairHids = pairs.select(col("conv_a").as("hid"))
       .unionByName(pairs.select(col("conv_b").as("hid"))).distinct()
     val allDocs = newDocs.unionByName(
         priorDocs.select("conv_id", "tokh", "prefix", "hid"))
-      .join(pairHids, Seq("hid"), "left_semi")
+      .join(if (2 * nPairs <= maxBroadcastRows) broadcast(pairHids) else pairHids,
+        Seq("hid"), "left_semi")
     val scored = Scoring.scorePairs(pairs, allDocs, cfg.weights,
       cfg.prefixChars, cfg.levMaxDist, pairIdCol = "hid")
     val matched = timed("inc_scored")(
@@ -182,19 +204,24 @@ object IncrementalPipeline {
     // runs over a delta-sized subgraph — the corpus contributes two
     // narrow scans of priorClusters (semi + anti), never a corpus-wide
     // union-find.
+    // matched ≤ pairs, so the probe guard covers these broadcasts too:
+    // without them both clusters-table scans below shuffle the whole
+    // corpus assignment by conv_id / cluster_id
+    val small: DataFrame => DataFrame =
+      df => if (2 * nPairs <= maxBroadcastRows) broadcast(df) else df
     val matchedIds = matched.select(col("conv_a").as("conv_id"))
       .unionByName(matched.select(col("conv_b").as("conv_id"))).distinct()
     // lazy: consumed by both the semi- and the anti-join below — one
     // evaluation of the priorClusters ⋉ matchedIds lookup, not two
     val affectedClusterIds = priorClusters
-      .join(matchedIds, Seq("conv_id"), "left_semi")
+      .join(small(matchedIds), Seq("conv_id"), "left_semi")
       .select("cluster_id").distinct()
       .localCheckpoint(false, ser)
     val affectedMembers = timed("inc_affected")(priorClusters
-      .join(affectedClusterIds, Seq("cluster_id"), "left_semi")
+      .join(small(affectedClusterIds), Seq("cluster_id"), "left_semi")
       .localCheckpoint(true, ser))
     val unaffected = priorClusters
-      .join(affectedClusterIds, Seq("cluster_id"), "left_anti")
+      .join(small(affectedClusterIds), Seq("cluster_id"), "left_anti")
 
     val memberEdges = affectedMembers
       .where(col("conv_id") =!= col("cluster_id"))
@@ -292,20 +319,24 @@ object IncrementalPipeline {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val ids = retractIds.select("conv_id").distinct()
       .localCheckpoint(false, ser) // consumed by four joins below
+    // the retract set is deletion-request-sized: broadcast it (and the
+    // ≤|ids| affected-cluster-id set) so every corpus-table scan below is
+    // a scan + broadcast join, never a corpus shuffle — the checkpointed
+    // sets carry no size stats, so without hints the planner sort-merges
     // only clusters containing a retracted id can change
     val affectedClusterIds = priorClusters
-      .join(ids, Seq("conv_id"), "left_semi")
+      .join(broadcast(ids), Seq("conv_id"), "left_semi")
       .select("cluster_id").distinct()
       .localCheckpoint(false, ser)
     val affectedMembers = priorClusters
-      .join(affectedClusterIds, Seq("cluster_id"), "left_semi")
+      .join(broadcast(affectedClusterIds), Seq("cluster_id"), "left_semi")
     val unaffected = priorClusters
-      .join(affectedClusterIds, Seq("cluster_id"), "left_anti")
-    val survivors = affectedMembers.join(ids, Seq("conv_id"), "left_anti")
+      .join(broadcast(affectedClusterIds), Seq("cluster_id"), "left_anti")
+    val survivors = affectedMembers.join(broadcast(ids), Seq("conv_id"), "left_anti")
       .localCheckpoint(true, ser) // feeds the universe + the edge restrict
     val edges = priorEdges.select("conv_a", "conv_b")
-    val idsAsA = ids.withColumnRenamed("conv_id", "conv_a")
-    val idsAsB = ids.withColumnRenamed("conv_id", "conv_b")
+    val idsAsA = broadcast(ids.withColumnRenamed("conv_id", "conv_a"))
+    val idsAsB = broadcast(ids.withColumnRenamed("conv_id", "conv_b"))
     val removedEdges = edges.join(idsAsA, Seq("conv_a"), "left_semi")
       .unionByName(edges.join(idsAsB, Seq("conv_b"), "left_semi"))
       .distinct()

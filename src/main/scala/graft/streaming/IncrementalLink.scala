@@ -283,6 +283,14 @@ object IncrementalLink {
                         lshShingleK: Int = 2, numHashes: Int = 96,
                         bands: Int = 24, winnowW: Int = 8,
                         prefixChars: Int = 256): DataFrame = {
+    // Plan shape note (measured round 6): the block-key join broadcasts
+    // the (micro-batch-sized) stream side, so the fat corpus index is
+    // scanned, never shuffled; the only payload-carrying shuffle is the
+    // candidate dedup, which is delta-neighborhood-sized. A
+    // narrow-join-then-reattach variant (dedup ids, join payloads back)
+    // was tried and measured WORSE (3.5 → 4.8 s on the q53 gate): the
+    // per-doc payload projection of the index costs its own full-index
+    // dedup shuffle, which the current shape never pays.
     val candidates = docFeatures(stream, exactK, lshShingleK, numHashes,
       bands, winnowW, prefixChars)
       .withColumn("ts", col("ts").cast("timestamp"))

@@ -84,6 +84,31 @@ class FunctionsSpec extends SparkSpec {
     assert(df(2) == 0.0)
   }
 
+  test("token_jaccard native kernel ≡ built-in composition (strings and longs)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(300) {
+      def arr() = Seq.fill(rnd.nextInt(12))(s"t${rnd.nextInt(8)}")
+      (arr().mkString(" "), arr().mkString(" "))
+    } ++ Seq(("", ""), ("", "x y"), ("a a a", "a"), ("a b", "c d"))
+    val df = rows.toDF("x", "y")
+    // string arrays (with duplicates and empties)
+    val s = df.select(
+      token_jaccard(split($"x", " "), split($"y", " ")).as("n"),
+      token_jaccard_hof(split($"x", " "), split($"y", " ")).as("h")).collect()
+    s.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
+    // long arrays via shingle hashes (the verify-stage shape)
+    val l = df.select(
+      token_jaccard(shingle_hashes(tokens($"x"), 1, distinct = false),
+        shingle_hashes(tokens($"y"), 1, distinct = false)).as("n"),
+      token_jaccard_hof(shingle_hashes(tokens($"x"), 1, distinct = false),
+        shingle_hashes(tokens($"y"), 1, distinct = false)).as("h")).collect()
+    l.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
+    // null input → null, both forms
+    val n = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(token_jaccard($"a", $"b"), token_jaccard_hof($"a", $"b")).collect()
+    assert(n(0).isNullAt(0) && n(0).isNullAt(1))
+  }
+
   test("jaro_winkler column expr matches scalar kernel and codegens") {
     val df = Seq(("martha", "marhta"), ("dixon", "dicksonx")).toDF("a", "b")
       .select(jaro_winkler($"a", $"b").as("jw"))
