@@ -106,18 +106,25 @@ object BenchIncremental {
       println(f"INC_RUN $i full=$f%.2f inc=$inc%.2f")
       (f, inc)
     }
-    // staged snapshots may live on tmpfs (RAM) — delete them so repeated
-    // bench invocations in one sandbox session don't accrete gigabytes
+    // staged snapshots may live on tmpfs (RAM) — delete them RECURSIVELY
+    // so repeated bench invocations in one sandbox session don't accrete
+    // gigabytes (a one-level delete left _temporary subtrees from any
+    // interrupted parquet write behind, silently keeping the directory)
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-incbench"
+      else s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-incbench"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach(deleteRec)
+      }
+      f.delete()
+    }
     Seq(s"full-$nBase", s"prior-$nBase", s"delta-$nBase", s"pdocs-$nBase",
       s"pblocks-$nBase", s"pclusters-$nBase").foreach { n =>
-      val shm = new java.io.File("/dev/shm")
-      val base =
-        if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-incbench"
-        else s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-incbench"
       val d = new java.io.File(s"$base-$n")
-      if (d.isDirectory) {
-        d.listFiles.foreach(_.delete()); d.delete()
-      }
+      if (d.isDirectory) deleteRec(d)
     }
     Result(totalTurns, deltaTurns, runs.map(_._1).min, runs.map(_._2).min, parity)
   }

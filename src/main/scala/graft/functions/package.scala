@@ -20,18 +20,32 @@ package object functions {
 
   /** Reference text normalization (nordlys/erd/query/query.py:30-40):
     * lower-case, any non-alphanumeric run → single space, trim.
-    * Byte-identical semantics are a parity invariant.
+    * Byte-identical semantics are a parity invariant — native codegen'd
+    * kernel; [[norm_text_builtin]] is the transparent regex composition
+    * unit tests cross-check against (see [[TextKernels]] for the
+    * byte-level equivalence argument).
     */
   def norm_text(c: Column): Column =
+    Internals.column(NormTextExpr(Internals.expression(c)))
+
+  /** Regex-composed normalization (interpreted-parity reference only). */
+  def norm_text_builtin(c: Column): Column =
     trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
-  /** Whitespace tokens of the normalized text. Empty input → empty array
-    * (split of "" yields [""], which array_remove drops). array_remove
-    * rather than the `filter` HOF: higher-order functions are interpreted
-    * in Spark, and this expression sits under every blocking/scoring path.
+  /** Whitespace tokens of the normalized text — native kernel fusing the
+    * normalization with the split (the composed form ran the JVM regex
+    * twice per document and materialized the normalized string under
+    * every blocking/scoring path). [[tokens_builtin]] is the reference
+    * composition tests cross-check against.
     */
   def tokens(c: Column): Column =
-    array_remove(split(norm_text(c), " "), "")
+    Internals.column(NormTokensExpr(Internals.expression(c)))
+
+  /** Built-in-composed tokenizer (parity reference only). Empty input →
+    * empty array (split of "" yields [""], which array_remove drops).
+    */
+  def tokens_builtin(c: Column): Column =
+    array_remove(split(norm_text_builtin(c), " "), "")
 
   /** All word n-grams of lengths 1..maxN (space-joined), in order — native
     * codegen'd expression. The reference generates *all* lengths up to the

@@ -181,6 +181,11 @@ object Ltr {
           val model = train(folded.where(col("fold") =!= f))
           applyRf(model, folded.where(col("fold") === f), featureCols)
         }}), Duration.Inf)
+      catch {
+        // first failure: abandon the sibling fits (interrupt pool threads)
+        // instead of letting them run to completion on non-daemon threads
+        case e: Throwable => pool.shutdownNow(); throw e
+      }
       finally pool.shutdown()
     parts.reduce(_ unionByName _).drop("fold", "session")
   }

@@ -49,10 +49,13 @@ object BlockingMetrics {
     val b = blocks.select(col(idCol).as("id"), col(keyCol).as("key"))
 
     val perBlock = b.groupBy("key").agg(count(lit(1)).as("c"))
+    // coalesce: sum() over zero rows is NULL — an empty blocking must
+    // still yield a fully-defined summary row (count gives 0 either way)
     val blockAgg = perBlock.agg(
       count(lit(1)).as("n_blocks"),
-      sum(col("c")).as("n_entries"),
-      sum(col("c") * (col("c") - 1) / 2).cast("long").as("cand_pairs_sum"))
+      coalesce(sum(col("c")), lit(0L)).as("n_entries"),
+      coalesce(sum(col("c") * (col("c") - 1) / 2).cast("long"), lit(0L))
+        .as("cand_pairs_sum"))
 
     val distinctPairs = candPairs.getOrElse {
       b.as("x").join(b.as("y"),

@@ -78,7 +78,7 @@ object ConnectedComponents {
     val e = canonicalize(edges, checkpoint, edgesDistinct)
     if (useLocalFinisher(e, localMaxEdges, knownEdgeCount)) {
       assignmentDf(e.sparkSession,
-        unionFindResolved(e.select("u", "v").collect(), keepRoots = true))
+        streamingCollectUnion(e).resolved(keepRoots = true))
     } else distributedAssignment(
       dedupForRounds(e, checkpoint, edgesDistinct), checkpoint, maxIter, onRound)
   }
@@ -103,33 +103,122 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     val e = canonicalize(edges, checkpoint, edgesDistinct)
     if (useLocalFinisher(e, localMaxEdges, knownEdgeCount)) {
-      // roots are dropped from the resolved map: both attach paths fall
-      // back to identity for absent keys (the broadcast lookup explicitly,
-      // joinAttach via coalesce), and a root's cluster id IS itself — so
-      // the shipped map carries only non-root members (~the duplicate
-      // docs), typically a third smaller than the full node map
-      val rows = subTimed("collect")(e.select("u", "v").collect())
-      val resolved = subTimed("unionfind")(
-        unionFindResolved(rows, keepRoots = false))
-      if (resolved.size() <= maxBroadcastNodes) {
-        // the map is already ON the driver — sc.broadcast ships it once
-        // (torrent), unlike a broadcast-hinted DataFrame whose execution
-        // would round-trip every row driver → executors → driver
-        // (measured +2 s, round 3). Lookup is a per-row map get. (A
-        // sorted-parallel-arrays variant — binary-search lookup, no
-        // per-executor rehash on deserialize — was measured WORSE here:
-        // the driver-side sort of ~1M id strings costs more than the
-        // rehash it saves, 1.5 s vs 0.8 s on the broadcast sub-phase.)
-        val bc = subTimed("broadcast")(spark.sparkContext.broadcast(resolved))
-        val look = udf((s: String) => {
-          val v = bc.value.get(s); if (v == null) s else v
-        }).asNondeterministic() // deterministic in fact; flag keeps the
-        // optimizer from re-executing the lookup across plan branches
+      // roots are dropped from the shipped assignment: both attach paths
+      // fall back to identity for absent keys (the broadcast lookup
+      // explicitly, joinAttach via coalesce), and a root's cluster id IS
+      // itself — so the payload carries only non-root members (~the
+      // duplicate docs), typically a third smaller than the full node map
+      val uf = subTimed("collect+uf")(streamingCollectUnion(e))
+      if (uf.nonRootCount <= maxBroadcastNodes) {
+        // ship a compact byte blob (names + root ordinals straight from
+        // the union-find arrays) and decode it ONCE PER EXECUTOR JVM into
+        // the lookup map: JavaSerializer on a 10⁶-entry
+        // HashMap[String,String] walks a per-object handle table on both
+        // ends, and building the map on the driver just to serialize it
+        // re-pays the whole hash insert pass — both costs sit on the
+        // clusters stage's SERIAL tail. (sc.broadcast of the map itself
+        // was the round-3..5 shape; a broadcast-hinted DataFrame — which
+        // would round-trip every row driver → executors → driver — and a
+        // sorted-parallel-arrays binary-search variant were both measured
+        // worse earlier: +2 s / 1.5 s vs 0.8 s on this sub-phase.)
+        val blob = subTimed("encode")(uf.encodeNonRoots())
+        val bc = subTimed("broadcast")(spark.sparkContext.broadcast(blob))
+        val look = udf(new LookupFn(bc)).asNondeterministic()
+        // deterministic in fact; the flag keeps the optimizer from
+        // re-executing the lookup across plan branches
         universe.select(col("conv_id"),
           look(col("conv_id")).as("cluster_id"))
-      } else joinAttach(universe, assignmentDf(spark, resolved))
+      } else joinAttach(universe, assignmentDf(spark, uf.resolved(keepRoots = false)))
     } else joinAttach(universe, distributedAssignment(
       dedupForRounds(e, checkpoint, edgesDistinct), checkpoint, maxIter, onRound))
+  }
+
+  /** Broadcast-blob lookup closure: resolves the decoded map once per
+    * TASK (transient lazy), which amortizes the per-JVM decode cache's
+    * synchronized access down to one hit per task — the per-row path is a
+    * plain HashMap get.
+    */
+  private final class LookupFn(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      extends (String => String) with Serializable {
+    @transient private lazy val m = decodedBlob(bc)
+    override def apply(s: String): String = {
+      val v = m.get(s); if (v == null) s else v
+    }
+  }
+
+  /** Per-JVM cache of decoded assignment blobs, keyed by broadcast id and
+    * bounded to the 2 most recent (back-to-back pipeline runs in one
+    * session must not accrete 10⁶-entry maps per run).
+    */
+  private val blobCache =
+    new java.util.LinkedHashMap[Long, java.util.HashMap[String, String]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, java.util.HashMap[String, String]]): Boolean =
+        size() > 2
+    }
+
+  private def decodedBlob(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): java.util.HashMap[String, String] =
+    blobCache.synchronized {
+      val hit = blobCache.get(bc.id)
+      if (hit != null) hit
+      else {
+        val m = UnionFind.decodeNonRoots(bc.value)
+        blobCache.put(bc.id, m)
+        m
+      }
+    }
+
+  /** Collect the canonical edge set and union-find it, OVERLAPPED: each
+    * scan task ships its partition's (u, v) strings as one flat array,
+    * and a driver-side consumer thread folds arrived arrays into the
+    * union-find while later tasks are still scanning/serializing. The
+    * previous shape — full collect(), then union-find over the Row array
+    * — paid the two phases back to back on the driver (round-5 protocol
+    * CCSUB: collect 1.08 s + unionfind 0.85 s of a 3.5 s clusters stage);
+    * the overlap bounds the pair by max(scan, union) instead of the sum,
+    * and extracting plain strings executor-side also drops the driver's
+    * single-threaded InternalRow→Row conversion that collect() does.
+    * Union order does not affect the result (min-name-wins union with
+    * path compression is order-insensitive, the property
+    * ConnectedComponentsSpec's union-find oracle pins).
+    */
+  private def streamingCollectUnion(e: DataFrame): UnionFind = {
+    val df = e.select("u", "v")
+    val rdd = df.queryExecution.toRdd.mapPartitions { it =>
+      val buf = new scala.collection.mutable.ArrayBuilder.ofRef[String]
+      while (it.hasNext) {
+        val r = it.next()
+        buf += r.getUTF8String(0).toString
+        buf += r.getUTF8String(1).toString
+      }
+      Iterator.single(buf.result())
+    }
+    val queue = new java.util.concurrent.LinkedBlockingQueue[Array[String]]()
+    val sentinel = Array.empty[String]
+    val uf = new UnionFind
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val consumer = new Thread(() => {
+      try {
+        var a = queue.take()
+        while (a.length > 0) { uf.addFlat(a); a = queue.take() }
+      } catch { case t: Throwable => err.set(t) }
+    }, "graft-cc-unionfind")
+    consumer.setDaemon(true)
+    consumer.start()
+    try {
+      df.sparkSession.sparkContext.runJob(
+        rdd,
+        (_: org.apache.spark.TaskContext, it: Iterator[Array[String]]) =>
+          if (it.hasNext) it.next() else sentinel,
+        0 until rdd.getNumPartitions,
+        (_: Int, a: Array[String]) => if (a.length > 0) queue.put(a))
+    } finally {
+      queue.put(sentinel)
+      consumer.join()
+    }
+    if (err.get() != null) throw err.get()
+    uf
   }
 
   /** Sub-phase timing for the driver finisher (same env switch as the
@@ -188,34 +277,25 @@ object ConnectedComponents {
       knownEdgeCount.getOrElse(e.count()) <= localMaxEdges
   }
 
-  /** Union-find with path compression, min member as the representative —
-    * byte-identical clustering to the star-forest result. Only reached
-    * under `localMaxEdges`. (collect(), not toLocalIterator(): the latter
-    * fetches partitions one round-trip at a time — numShufflePartitions
-    * sequential jobs; the localMaxEdges guard already bounds driver
-    * memory.)
+  /** Incremental union-find with path compression, min member as the
+    * representative — byte-identical clustering to the star-forest
+    * result. Only reached under `localMaxEdges` (which bounds driver
+    * memory). Fed partition-at-a-time by [[streamingCollectUnion]].
     *
     * Ids are interned to dense ints once; finds then chase an int array
     * (measured ~3× over the previous String-HashMap parent chains at
     * 1.4M edges — this runs on the driver, so every saved second is a
     * serial second at BOTH cluster sizes). Union keeps the min *name* at
     * the root, so the invariant "root = lexicographic min of its
-    * component" holds inductively and the output is unchanged.
-    *
-    * Returns node → final root. `keepRoots = false` omits root
-    * self-entries — correct wherever the consumer falls back to identity
-    * for absent keys (both of [[runWithUniverse]]'s attach paths);
-    * [[run]] keeps them because its contract is "every node appearing in
-    * edges is returned".
+    * component" holds inductively and the output is order-insensitive.
     */
-  private def unionFindResolved(rows: Array[org.apache.spark.sql.Row],
-                                keepRoots: Boolean): java.util.HashMap[String, String] = {
-    val nEdges = rows.length
-    val idOf = new java.util.HashMap[String, Integer](math.max(16, nEdges * 2))
-    var names = new Array[String](math.max(16, nEdges))
-    var parent = new Array[Int](math.max(16, nEdges))
-    var count = 0
-    def intern(s: String): Int = {
+  private[pipeline] final class UnionFind {
+    private val idOf = new java.util.HashMap[String, Integer](1 << 16)
+    private var names = new Array[String](1 << 12)
+    private var parent = new Array[Int](1 << 12)
+    private var count = 0
+
+    private def intern(s: String): Int = {
       val existing = idOf.get(s)
       if (existing != null) existing.intValue()
       else {
@@ -230,32 +310,101 @@ object ConnectedComponents {
         count - 1
       }
     }
-    def find(x: Int): Int = {
+
+    private def find(x: Int): Int = {
       var root = x
       while (parent(root) != root) root = parent(root)
       var cur = x // path compression
       while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
       root
     }
-    var ri = 0
-    while (ri < nEdges) {
-      val row = rows(ri)
-      ri += 1
-      val ru = find(intern(row.getString(0)))
-      val rv = find(intern(row.getString(1)))
+
+    def add(u: String, v: String): Unit = {
+      val ru = find(intern(u))
+      val rv = find(intern(v))
       if (ru != rv) { // min name wins as the representative
         if (names(ru).compareTo(names(rv)) < 0) parent(rv) = ru
         else parent(ru) = rv
       }
     }
-    val out = new java.util.HashMap[String, String](count)
-    var i = 0
-    while (i < count) {
-      val r = find(i)
-      if (keepRoots || r != i) out.put(names(i), names(r))
-      i += 1
+
+    /** Fold a flat [u0, v0, u1, v1, ...] edge array. */
+    def addFlat(a: Array[String]): Unit = {
+      var i = 0
+      while (i < a.length) { add(a(i), a(i + 1)); i += 2 }
     }
-    out
+
+    /** Number of non-root nodes (= entries the attach payload ships). */
+    def nonRootCount: Int = {
+      var n = 0
+      var i = 0
+      while (i < count) { if (find(i) != i) n += 1; i += 1 }
+      n
+    }
+
+    /** node → final root. `keepRoots = false` omits root self-entries —
+      * correct wherever the consumer falls back to identity for absent
+      * keys (both of [[runWithUniverse]]'s attach paths); [[run]] keeps
+      * them because its contract is "every node appearing in edges is
+      * returned".
+      */
+    def resolved(keepRoots: Boolean): java.util.HashMap[String, String] = {
+      val out = new java.util.HashMap[String, String](count)
+      var i = 0
+      while (i < count) {
+        val r = find(i)
+        if (keepRoots || r != i) out.put(names(i), names(r))
+        i += 1
+      }
+      out
+    }
+
+    /** Compact attach payload straight from the union-find arrays — no
+      * intermediate String→String map on the driver: node count, the
+      * interned names (length-prefixed UTF-8), then each node's resolved
+      * root ordinal. [[UnionFind.decodeNonRoots]] inverts it.
+      */
+    def encodeNonRoots(): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(count * 24 + 16)
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(bos, 1 << 16))
+      out.writeInt(count)
+      var i = 0
+      while (i < count) {
+        val b = names(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length)
+        out.write(b)
+        i += 1
+      }
+      i = 0
+      while (i < count) { out.writeInt(find(i)); i += 1 }
+      out.flush()
+      bos.toByteArray
+    }
+  }
+
+  private[pipeline] object UnionFind {
+    /** Decode [[UnionFind.encodeNonRoots]] into the non-root lookup map. */
+    def decodeNonRoots(blob: Array[Byte]): java.util.HashMap[String, String] = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(blob))
+      val count = in.readInt()
+      val names = new Array[String](count)
+      var i = 0
+      while (i < count) {
+        val b = new Array[Byte](in.readInt())
+        in.readFully(b)
+        names(i) = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        i += 1
+      }
+      val out = new java.util.HashMap[String, String](count)
+      i = 0
+      while (i < count) {
+        val r = in.readInt()
+        if (r != i) out.put(names(i), names(r))
+        i += 1
+      }
+      out
+    }
   }
 
   private def assignmentDf(spark: org.apache.spark.sql.SparkSession,

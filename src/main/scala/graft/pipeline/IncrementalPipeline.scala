@@ -107,10 +107,15 @@ object IncrementalPipeline {
     val newBlocks = timed("inc_blocks")(Pipeline.blocksPayload(newDocs, cfg)
       .localCheckpoint(true, ser))
 
-    // prune the corpus side to keys the delta emits before counting:
-    // a key with no new member can produce no delta pair, and at corpus
-    // scale this semi-join is the difference between aggregating the
-    // whole blocks table and aggregating the delta's neighborhood.
+    // prune the corpus side to keys the delta emits, then fold the pruned
+    // rows STRAIGHT into a bounded distinct-collect per key: one shuffle
+    // yields, for every delta key, the old-member list and the old count
+    // in the same pass. Replaces the round-5 shape {checkpoint pruned
+    // rows → count aggregate → anti-join the pruned rows again}, which
+    // paid one extra 4.5M-row materialization plus two extra passes over
+    // the delta's corpus neighborhood (measured inc_probe 3.4 s +
+    // inc_pairs 3.2 s at the 6.7M-turn protocol input; see
+    // OPTIMIZATION_r06.md).
     // BROADCAST the delta key set (guide §3.1): without the hint the
     // planner has no size estimate for the checkpointed delta and
     // sort-merge-joins — i.e. SHUFFLES — the entire corpus blocks
@@ -120,33 +125,40 @@ object IncrementalPipeline {
     // is guarded by the delta's materialized row count so a
     // pathologically large "delta" degrades to the shuffle plan instead
     // of an executor-OOM-sized broadcast.
+    // Hot-key state stays bounded: the collect saturates at cap+1
+    // members, and saturation already implies the combined size exceeds
+    // the cap (every probed key has ≥1 delta member), so the DROP
+    // DECISION is exact; only the audited block_size becomes a lower
+    // bound on saturated keys — the batch path's documented semantics.
+    // Kept keys are never saturated (n_old ≤ cap−n_new < cap+1), so
+    // their member lists are complete and the new-old pair join loses
+    // nothing.
     val maxBroadcastRows = 4000000L
     val nNewBlockRows = newBlocks.count() // cheap: newBlocks is checkpointed
     val newKeys = newBlocks.select("block_key").distinct()
     val probeKeys =
       if (nNewBlockRows <= maxBroadcastRows) broadcast(newKeys) else newKeys
-    val oldRelevant = timed("inc_probe")(
-      priorBlocks.getOrElse(Pipeline.blocksPayload(priorDocs, cfg))
-        .join(probeKeys, Seq("block_key"), "left_semi")
+    val oldAgg = priorBlocks.getOrElse(Pipeline.blocksPayload(priorDocs, cfg))
+      .join(probeKeys, Seq("block_key"), "left_semi")
+      .groupBy("block_key")
+      .agg(graft.functions.BoundedCollectSet
+        .bounded(cfg.maxBlockSize + 1, col("conv_id").cast("long"))
+        .as("old_members"))
+    // eager: consumed by the drop audit, the kept-new anti-join and the
+    // new-old pair join — one row per distinct delta key (delta-sized)
+    val counts = timed("inc_probe")(
+      newBlocks.groupBy("block_key").agg(count(lit(1)).as("n_new"))
+        .join(oldAgg, Seq("block_key"), "left")
+        .select(col("block_key"), col("n_new"),
+          coalesce(size(col("old_members")), lit(0)).cast("long").as("n_old"),
+          col("old_members"))
         .localCheckpoint(true, ser))
-
-    // combined-size cap, same rule as the batch path (blocks kernels emit
-    // per-doc-distinct keys, so row counts ARE distinct member counts)
-    val newCnt = newBlocks.groupBy("block_key").agg(count(lit(1)).as("n_new"))
-    val oldCnt = oldRelevant.groupBy("block_key").agg(count(lit(1)).as("n_old"))
-    val counts = newCnt.join(oldCnt, Seq("block_key"), "left")
-      .na.fill(0L, Seq("n_old"))
-    // lazy checkpoint: consumed by the two anti-joins below and by the
-    // caller's drop audit — one evaluation of the count aggregates
     val droppedKeys = counts
       .where(col("n_new") + col("n_old") > cfg.maxBlockSize)
       .select(col("block_key"),
         (col("n_new") + col("n_old")).cast("long").as("block_size"))
-      .localCheckpoint(false)
 
     val keptNew = newBlocks.join(
-      broadcast(droppedKeys.select("block_key")), Seq("block_key"), "left_anti")
-    val keptOld = oldRelevant.join(
       broadcast(droppedKeys.select("block_key")), Seq("block_key"), "left_anti")
 
     // new-new pairs: the batch fused path over the delta's kept blocks
@@ -156,11 +168,14 @@ object IncrementalPipeline {
     // new-old pairs: one equi-join on block_key, fanout ≤ cap²/4 per key.
     // The delta side is the small one — broadcast it (same guard as the
     // probe) so the corpus-side kept rows are streamed, not shuffled.
+    val keptOldRows = counts
+      .where(col("n_new") + col("n_old") <= cfg.maxBlockSize &&
+        col("n_old") > 0)
+      .select(col("block_key"), explode(col("old_members")).as("h_old"))
     val keptNewSel = keptNew.select(col("block_key"), col("conv_id").as("h_new"))
     val noPairs = (if (nNewBlockRows <= maxBroadcastRows) broadcast(keptNewSel)
                    else keptNewSel)
-      .join(keptOld.select(col("block_key"), col("conv_id").as("h_old")),
-        "block_key")
+      .join(keptOldRows, "block_key")
       // same-hid guard: a delta doc colliding with a corpus doc on hid
       // would self-pair; mirrors the batch path's conv_a < conv_b
       .where(col("h_new") =!= col("h_old"))
@@ -185,10 +200,16 @@ object IncrementalPipeline {
     val nPairs = pairs.count() // cheap: pairs is checkpointed
     val pairHids = pairs.select(col("conv_a").as("hid"))
       .unionByName(pairs.select(col("conv_b").as("hid"))).distinct()
-    val allDocs = newDocs.unionByName(
+    // eager: BOTH sides of scorePairs' feature-attach join consume
+    // allDocs; without materialization each side re-evaluates the union +
+    // semi-join — i.e. the fat priorDocs snapshot (tokh arrays, the
+    // run's widest table) is scanned TWICE (the dominant term of the
+    // round-5 inc_scored 4.5-5.1 s; guide §7.2 duplicated subtrees)
+    val allDocs = timed("inc_feats")(newDocs.unionByName(
         priorDocs.select("conv_id", "tokh", "prefix", "hid"))
       .join(if (2 * nPairs <= maxBroadcastRows) broadcast(pairHids) else pairHids,
         Seq("hid"), "left_semi")
+      .localCheckpoint(true, ser))
     val scored = Scoring.scorePairs(pairs, allDocs, cfg.weights,
       cfg.prefixChars, cfg.levMaxDist, pairIdCol = "hid")
     val matched = timed("inc_scored")(

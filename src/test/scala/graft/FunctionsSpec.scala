@@ -19,6 +19,32 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1) == Seq.empty)
   }
 
+  test("native norm_text / tokens ≡ regex composition (unicode, punct runs, fuzz)") {
+    val hand = Seq(
+      "", " ", "   ", "a", "A", "0z9", "Hello, World!  42", "a--b__c",
+      "  leading and trailing  ", "__--!!", "Ünïcode ÆØÅ mixed 123",
+      "日本語テキスト abc 123", "emoji 😀😀 pair 😀x",
+      "Turkish İ dotted", "tab\tnew\nline\r mixed", "MiXeD CaSe 0a9Z",
+      "a%2Fb%20c", "ß sharp s", "ﬁ ligature")
+    val rnd = new scala.util.Random(20260822)
+    val alphabet = "aZ09 .,!_-\t\nü漢😀ß"
+    val fuzz = (1 to 300).map { _ =>
+      val n = rnd.nextInt(24)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = (hand ++ fuzz).toDF("t")
+    val norm = df.select(norm_text($"t").as("n"), norm_text_builtin($"t").as("h"))
+      .collect()
+    norm.foreach(r => assert(r.getString(0) == r.getString(1), s"norm: $r"))
+    val tok = df.select(tokens($"t").as("n"), tokens_builtin($"t").as("h"))
+      .as[(Seq[String], Seq[String])].collect()
+    tok.foreach { case (n, h) => assert(n == h) }
+    // null passthrough
+    val nulls = Seq[Option[String]](None).toDF("t")
+      .select(norm_text($"t"), tokens($"t")).collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("ngrams_up_to emits all n-grams 1..n (query.py:72-86 fixture)") {
     val out = Seq("jon gruden rumors").toDF("t")
       .select(ngrams_up_to(tokens($"t"), 3)).as[Seq[String]].head()
