@@ -73,9 +73,10 @@ object SimilarityKernels {
   }
 
   /** Jaro-Winkler: jaro boosted by shared prefix (≤4) when jaro > 0.7. */
-  def jaroWinkler(s1: String, s2: String): Double = {
-    val a = s1.codePoints().toArray
-    val b = s2.codePoints().toArray
+  def jaroWinkler(s1: String, s2: String): Double =
+    jwCp(s1.codePoints().toArray, s2.codePoints().toArray)
+
+  private def jwCp(a: Array[Int], b: Array[Int]): Double = {
     val j = jaroCp(a, b)
     if (j > 0.7) {
       var l = 0
@@ -85,9 +86,30 @@ object SimilarityKernels {
     } else j
   }
 
+  /** UTF8String → code points. Pure-ASCII values — which is what every
+    * scoring path feeds (prefixes are `norm_text` output, alphabet
+    * [a-z0-9 ]) — are widened straight from the UTF-8 bytes, skipping
+    * the String materialization + codePoints stream the per-pair hot
+    * loops previously paid twice per comparison; ASCII bytes ARE their
+    * code points, so the result is bit-identical. Any byte ≥ 0x80 falls
+    * back to the full decode.
+    */
+  private def codePoints(s: UTF8String): Array[Int] = {
+    val b = s.getBytes
+    var i = 0
+    while (i < b.length) {
+      if (b(i) < 0) return s.toString.codePoints().toArray
+      i += 1
+    }
+    val out = new Array[Int](b.length)
+    i = 0
+    while (i < b.length) { out(i) = b(i); i += 1 }
+    out
+  }
+
   /** Entry point used by generated code (UTF8String in the codegen path). */
   def jaroWinkler(a: UTF8String, b: UTF8String): Double =
-    jaroWinkler(a.toString, b.toString)
+    jwCp(codePoints(a), codePoints(b))
 
   /** Banded Levenshtein distance over code points, -1 when > maxDist.
     *
@@ -100,8 +122,8 @@ object SimilarityKernels {
     * DuckDB's levenshtein.
     */
   def levenshteinBanded(s1: UTF8String, s2: UTF8String, maxDist: Int): Int = {
-    val a = s1.toString.codePoints().toArray
-    val b = s2.toString.codePoints().toArray
+    val a = codePoints(s1)
+    val b = codePoints(s2)
     if (maxDist < 0 || math.abs(a.length - b.length) > maxDist) return -1
     val d = levenshteinMyersCp(a, b)
     if (d <= maxDist) d else -1
