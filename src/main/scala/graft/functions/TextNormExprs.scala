@@ -70,11 +70,97 @@ object TextKernels {
     if (start >= 0) segs.add(UTF8String.fromBytes(b, start, b.length - start))
     new GenericArrayData(segs.toArray)
   }
+
+  /** ≡ length(regexp_replace(s, "[^A-Za-z0-9 ]", "")) — the count of
+    * code points in [A-Za-z0-9 ]. Every matching character is a single
+    * ASCII byte and no multi-byte character contains bytes in those
+    * ranges, so a byte scan counts exactly the regex's survivors.
+    */
+  def asciiAlnumSpaceCount(s: UTF8String): Int = {
+    val b = s.getBytes
+    var n = 0
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == ' ') n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** ≡ size(regexp_extract_all(lower(s), "[a-z]+|[0-9]|[^a-z0-9\s]", 0)):
+    * a run of [a-z] counts 1, each digit counts 1, each other
+    * non-whitespace CODE POINT counts 1 (Java regex character classes
+    * match whole code points, so a 4-byte emoji is one match),
+    * whitespace = the regex \s set [ \t\n\x0B\f\r] — pure ASCII, so
+    * multi-byte characters can never be whitespace here. One byte walk
+    * over the lower-cased bytes; lead bytes (not 0b10xxxxxx) delimit
+    * code points.
+    */
+  def bpeCount(s: UTF8String): Int = {
+    val b = s.toLowerCase.getBytes
+    var n = 0
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c >= 'a' && c <= 'z') {
+        n += 1
+        i += 1
+        while (i < b.length && b(i) >= 'a' && b(i) <= 'z') i += 1
+      } else if (c >= '0' && c <= '9') { n += 1; i += 1 }
+      else if (c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' ||
+               c == '\r') i += 1
+      else if (c >= 0) { n += 1; i += 1 } // other ASCII punctuation
+      else {
+        // multi-byte code point: one match, skip its continuation bytes
+        n += 1
+        i += 1
+        while (i < b.length && (b(i) & 0xC0) == 0x80) i += 1
+      }
+    }
+    n
+  }
 }
 
 /** Codegen'd `norm_text` (same pattern as the other graft expressions:
   * generated code calls the static kernel, whole-stage codegen intact).
   */
+case class AsciiAlnumSpaceCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ascii_alnum_space_count requires string, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ascii_alnum_space_count"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.asciiAlnumSpaceCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.asciiAlnumSpaceCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd BPE-ish subword counter ≡
+  * `size(regexp_extract_all(lower(s), "[a-z]+|[0-9]|[^a-z0-9\\s]", 0))`.
+  */
+case class BpeCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_count requires string, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_count"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bpeCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bpeCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class NormTextExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

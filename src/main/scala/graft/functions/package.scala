@@ -118,6 +118,29 @@ package object functions {
     transform(sequence(lit(0), lit(bands - 1)), b =>
       xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
 
+  /** Count of code points in [A-Za-z0-9 ] — native kernel ≡
+    * `length(regexp_replace(c, "[^A-Za-z0-9 ]", ""))` (the quality
+    * operator's alpha count); [[ascii_alnum_space_count_builtin]] is the
+    * parity reference.
+    */
+  def ascii_alnum_space_count(c: Column): Column =
+    Internals.column(AsciiAlnumSpaceCountExpr(Internals.expression(c)))
+
+  /** Regex-composed alpha count (parity reference only). */
+  def ascii_alnum_space_count_builtin(c: Column): Column =
+    length(regexp_replace(c, "[^A-Za-z0-9 ]", ""))
+
+  /** BPE-ish subword count — native kernel ≡
+    * `size(regexp_extract_all(lower(c), "[a-z]+|[0-9]|[^a-z0-9\\s]", 0))`;
+    * [[bpe_count_builtin]] is the parity reference.
+    */
+  def bpe_count(c: Column): Column =
+    Internals.column(BpeCountExpr(Internals.expression(c)))
+
+  /** Regex-composed subword count (parity reference only). */
+  def bpe_count_builtin(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
   /** Token-set Jaccard similarity of two arrays (array<string> or
     * array<long>; distinct-element semantics). 0.0 when the union is
     * empty. Native codegen'd kernel — the composed

@@ -49,7 +49,9 @@ object TextAnalysis {
     val toks = tokens(text)
     val nTok = size(toks).cast("double")
     val len = length(text).cast("double")
-    val alpha = length(regexp_replace(text, "[^A-Za-z0-9 ]", "")).cast("double")
+    // native byte-walk count ≡ length(regexp_replace(text,
+    // "[^A-Za-z0-9 ]", "")) — keeps the quality path regex-free
+    val alpha = ascii_alnum_space_count(text).cast("double")
     val alphaRatio = when(len === 0, 0d).otherwise(alpha / len)
     val allStop = TextAnalysis.StopwordsByLang.flatMap(_._2).distinct
     val stopRatio = when(nTok === 0, 0d)
@@ -78,8 +80,12 @@ object TextAnalysis {
     */
   def tokenCounts(text: Column): Column = struct(
     size(tokens(text)).cast("long").as("ws_tokens"),
-    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
-      .cast("long").as("bpe_tokens"))
+    // native walk ≡ size(regexp_extract_all(lower(text),
+    // "[a-z]+|[0-9]|[^a-z0-9\s]", 0)): letter runs / digits /
+    // other non-space code points — the last regex in a declared query
+    // path (the JVM regex engine's first-use JIT was being charged to
+    // whichever query hit it first in a bench session)
+    bpe_count(text).cast("long").as("bpe_tokens"))
 
   /** Rolling polynomial fingerprint over normalized tokens:
     * acc = (acc * 131 + (ascii(first char) * 31 + len)) mod 1e9+7.

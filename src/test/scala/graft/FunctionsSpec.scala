@@ -39,10 +39,19 @@ class FunctionsSpec extends SparkSpec {
     val tok = df.select(tokens($"t").as("n"), tokens_builtin($"t").as("h"))
       .as[(Seq[String], Seq[String])].collect()
     tok.foreach { case (n, h) => assert(n == h) }
+    val counts = df.select(
+      ascii_alnum_space_count($"t").as("a"),
+      ascii_alnum_space_count_builtin($"t").as("ab"),
+      bpe_count($"t").as("b"), bpe_count_builtin($"t").as("bb")).collect()
+    counts.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"alpha: $r")
+      assert(r.getInt(2) == r.getInt(3), s"bpe: $r")
+    }
     // null passthrough
     val nulls = Seq[Option[String]](None).toDF("t")
-      .select(norm_text($"t"), tokens($"t")).collect().head
-    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+      .select(norm_text($"t"), tokens($"t"), ascii_alnum_space_count($"t"),
+        bpe_count($"t")).collect().head
+    assert((0 to 3).forall(nulls.isNullAt))
   }
 
   test("ngrams_up_to emits all n-grams 1..n (query.py:72-86 fixture)") {
