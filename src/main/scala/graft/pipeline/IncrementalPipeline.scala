@@ -211,7 +211,8 @@ object IncrementalPipeline {
         Seq("hid"), "left_semi")
       .localCheckpoint(true, ser))
     val scored = Scoring.scorePairs(pairs, allDocs, cfg.weights,
-      cfg.prefixChars, cfg.levMaxDist, pairIdCol = "hid")
+      cfg.prefixChars, cfg.levMaxDist, pairIdCol = "hid",
+      pruneBelowThreshold = Some(cfg.scoreThreshold))
     val matched = timed("inc_scored")(
       Scoring.matchedPairs(scored, cfg.scoreThreshold)
         .localCheckpoint(true, ser))

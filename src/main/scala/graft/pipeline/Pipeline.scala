@@ -224,7 +224,10 @@ object Pipeline {
     // count is an upper bound on the canonical edge count.
     val edgeObs = if (io.isEmpty) Some(new org.apache.spark.sql.Observation()) else None
     val scoredBase = Scoring.scorePairs(pairs, docs, cfg.weights, cfg.prefixChars,
-      cfg.levMaxDist, pairIdCol = "hid")
+      cfg.levMaxDist, pairIdCol = "hid",
+      // the stage's only consumers cut at scoreThreshold (matchedPairs /
+      // the observe metric), so hopeless pairs skip the string kernels
+      pruneBelowThreshold = Some(cfg.scoreThreshold))
     val scored = stage("scored")(edgeObs.fold(scoredBase)(o =>
       scoredBase.observe(o,
         sum(when(col("score") >= cfg.scoreThreshold, 1L).otherwise(0L)).as("n"))))

@@ -28,6 +28,19 @@ object Scoring {
   /** pairs(conv_a, conv_b, ...) × docs(conv_id, tokens[, prefix]) →
     * scored(conv_a, conv_b, jaccard, jw, lev_sim, score)
     *
+    * `pruneBelowThreshold`: when the caller only consumes matches at a
+    * score threshold t (the pipeline's matchedPairs cut), pairs whose
+    * token-Jaccard is already too low to reach t EVEN WITH perfect
+    * string scores — jaccard < (t − w_jw − w_lev)/w_jac — skip the
+    * O(prefix²) Jaro-Winkler/Levenshtein kernels outright (their jw /
+    * lev_sim columns read 0 and their score w_jac·jaccard, both safely
+    * below t). The matched-edge set is provably unchanged: a skipped
+    * pair's true score is ≤ w_jac·jaccard + w_jw + w_lev < t by the
+    * guard (with a 1e-9 slack dwarfing double rounding), so no pair
+    * that could match is ever skipped and no skipped pair can appear
+    * above t. Callers that read per-pair jw/lev values (q13-style
+    * scoring surfaces) must NOT set it — default off.
+    *
     * `pairIdCol`: name of the docs column whose VALUES the pair ids refer
     * to. Default "conv_id" (pairs carry the document ids themselves). The
     * pipeline passes "hid" — a 64-bit hash of conv_id that blocking and
@@ -45,7 +58,8 @@ object Scoring {
     */
   def scorePairs(pairs: DataFrame, docs: DataFrame, w: Weights = Weights(),
                  prefixChars: Int = 256, levMaxDist: Int = 128,
-                 pairIdCol: String = "conv_id"): DataFrame = {
+                 pairIdCol: String = "conv_id",
+                 pruneBelowThreshold: Option[Double] = None): DataFrame = {
     val prefixCol =
       if (docs.columns.contains("prefix")) col("prefix")
       else substring(col("norm_text"), 1, prefixChars)
@@ -82,8 +96,18 @@ object Scoring {
       // (measured 118 s → ~12 s at 8 executors on 560k turns)
       .repartition(n, col("conv_a"), col("conv_b"))
       .withColumn("jaccard", token_jaccard(col("tok_a"), col("tok_b")))
-      .withColumn("jw", jaro_winkler(col("pref_a"), col("pref_b")))
-      .withColumn("lev_sim", levenshtein_sim(col("pref_a"), col("pref_b"), levMaxDist))
+      // conditional branches codegen lazily: pruned pairs never run the
+      // string kernels (guide §1.2 step 1 — don't compute what the
+      // threshold cut throws away)
+      .withColumn("need_str", pruneBelowThreshold match {
+        case Some(t) =>
+          col("jaccard") >= lit((t - w.jaroWinkler - w.levenshtein) / w.jaccard - 1e-9)
+        case None => lit(true)
+      })
+      .withColumn("jw", when(col("need_str"),
+        jaro_winkler(col("pref_a"), col("pref_b"))).otherwise(0d))
+      .withColumn("lev_sim", when(col("need_str"),
+        levenshtein_sim(col("pref_a"), col("pref_b"), levMaxDist)).otherwise(0d))
       .withColumn("score",
         lit(w.jaccard) * col("jaccard") + lit(w.jaroWinkler) * col("jw") +
           lit(w.levenshtein) * col("lev_sim"))

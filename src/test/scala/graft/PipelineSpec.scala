@@ -104,6 +104,36 @@ class PipelineSpec extends SparkSpec {
     assert(m2.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("threshold-aware string-kernel prune: matched set identical, hopeless pairs skip the kernels") {
+    val cfg = Pipeline.Config()
+    val docs = Pipeline.docsPayload(t, cfg)
+      .localCheckpoint(true)
+    val (pairsDf, _) = Blocking.pairsFromBlocks(
+      Pipeline.blocksPayload(docs, cfg), cfg.maxBlockSize)
+    val pairs = pairsDf.localCheckpoint(true)
+    val plain = Scoring.scorePairs(pairs, docs, cfg.weights, cfg.prefixChars,
+      cfg.levMaxDist, pairIdCol = "hid")
+    val pruned = Scoring.scorePairs(pairs, docs, cfg.weights, cfg.prefixChars,
+      cfg.levMaxDist, pairIdCol = "hid",
+      pruneBelowThreshold = Some(cfg.scoreThreshold))
+    // the threshold cut sees exactly the same matches with the same scores
+    val mPlain = Scoring.matchedPairs(plain, cfg.scoreThreshold)
+    val mPruned = Scoring.matchedPairs(pruned, cfg.scoreThreshold)
+    assert(mPlain.exceptAll(mPruned).isEmpty && mPruned.exceptAll(mPlain).isEmpty)
+    assert(mPlain.count() > 0) // non-vacuous: the fixture has real matches
+    // skipped pairs (jaccard below the guard) read jw = lev = 0 and can
+    // never cross the threshold; surviving pairs carry identical values
+    val guard = (cfg.scoreThreshold - cfg.weights.jaroWinkler -
+      cfg.weights.levenshtein) / cfg.weights.jaccard - 1e-9
+    val skipped = pruned.where(col("jaccard") < guard)
+    assert(skipped.where(col("jw") =!= 0d || col("lev_sim") =!= 0d).isEmpty)
+    assert(skipped.where(col("score") >= cfg.scoreThreshold).isEmpty)
+    val survivorsPlain = plain.where(col("jaccard") >= guard)
+    val survivorsPruned = pruned.where(col("jaccard") >= guard)
+    assert(survivorsPlain.exceptAll(survivorsPruned).isEmpty &&
+      survivorsPruned.exceptAll(survivorsPlain).isEmpty)
+  }
+
   test("checkpointed run resumes from snapshots and is byte-identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val io = new ParquetTableIO(spark, dir)
